@@ -1,0 +1,200 @@
+"""Radix-2 NTT / iNTT / LDE over Goldilocks, TPU-native.
+
+Reference behavior: src/fft/mod.rs — ``fft_natural_to_bitreversed`` (:398),
+``ifft_natural_to_natural`` (:464), ``distribute_powers`` (:308), twiddle
+precompute (:625). Semantics reproduced here:
+
+    ntt_cols(x)[i, l]  = f_l(coset · ω^{bitrev(i)})   (DIF, natural input,
+                                                       bitreversed output)
+    intt_cols(y)       = inverse of the above (bitreversed evals → natural
+                         monomial coefficients, coset un-shifted)
+
+TPU design: the core primitive transforms **axis 0 of a 2D array** ``(n, B)``
+where B is a batch of polynomial columns — the prover stores traces
+row-major ``(rows, cols)``, so columns batch onto the TPU lane dimension with
+no relayout, which replaces the reference's ``MixedGL`` SIMD interleaving
+games entirely. Each butterfly stage is a reshape + elementwise GL ops that
+XLA fuses; twiddles are per-stage device constants.
+
+Stage structure (DIF): at stage k the array is viewed as
+``(2^k, 2, half, B)`` with ``half = n >> (k+1)``; the butterfly is
+``(u, v) -> (u + v, (u - v) * w)`` with ``w[j] = ω^{j · 2^k}``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..field.goldilocks import GL, ORDER
+
+
+def bitreverse_indices(log_n: int) -> np.ndarray:
+    """Host-side bitreversal permutation (reference src/fft/mod.rs:41)."""
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev.astype(np.int64)
+
+
+def bitreverse_gl(x: GL, axis: int = 0) -> GL:
+    """Apply the bitreversal permutation along ``axis`` (device gather)."""
+    n = x.shape[axis]
+    perm = jnp.asarray(bitreverse_indices(int(n).bit_length() - 1))
+    return GL(jnp.take(x.lo, perm, axis=axis), jnp.take(x.hi, perm, axis=axis))
+
+
+@functools.lru_cache(maxsize=None)
+def _powers_u64(base: int, count: int) -> np.ndarray:
+    """Exact host table [base^0, …, base^(count-1)] mod p (doubling ladder)."""
+    out = np.empty(count, dtype=np.uint64)
+    if count == 0:
+        return out
+    out[0] = 1
+    have = 1
+    while have < count:
+        step = pow(base, have, ORDER)
+        take = min(have, count - have)
+        # out[have:have+take] = out[:take] * step (exact via Python ints)
+        chunk = [(int(v) * step) % ORDER for v in out[:take]]
+        out[have:have + take] = np.array(chunk, dtype=np.uint64)
+        have += take
+    return out
+
+
+def materialize_powers(base: int, count: int) -> GL:
+    """Device GL array of base^i, i < count (reference utils.rs:31)."""
+    return gl.from_u64(_powers_u64(base, count))
+
+
+class NttPlan:
+    """Precomputed twiddle tables for one domain size (device constants).
+
+    Mirrors the role of ``Twiddles``/``precompute_twiddles_for_fft_wrapper``
+    (src/fft/mod.rs:625) but stores one table per butterfly stage so the jitted
+    stages index nothing.
+    """
+
+    def __init__(self, log_n: int):
+        self.log_n = log_n
+        n = 1 << log_n
+        self.n = n
+        omega = gl.domain_generator(log_n)
+        omega_inv = gl.s_inv(omega)
+        self.omega = omega
+        self.n_inv = gl.s_inv(n)
+        fwd_full = _powers_u64(omega, max(n // 2, 1))
+        inv_full = _powers_u64(omega_inv, max(n // 2, 1))
+        # stage k uses ω^{j·2^k} for j < n >> (k+1)
+        self.fwd_twiddles = []
+        self.inv_twiddles = []
+        for k in range(log_n):
+            half = n >> (k + 1)
+            self.fwd_twiddles.append(gl.from_u64(fwd_full[:: 1 << k][:half]))
+            self.inv_twiddles.append(gl.from_u64(inv_full[:: 1 << k][:half]))
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(log_n: int) -> NttPlan:
+    return NttPlan(log_n)
+
+
+def _butterfly_fwd(x: GL, tw: GL, k: int, n: int, batch: int) -> GL:
+    half = n >> (k + 1)
+    x = x.reshape(1 << k, 2, half, batch)
+    u = x[:, 0]
+    v = x[:, 1]
+    s = gl.add(u, v)
+    t = gl.mul(gl.sub(u, v), GL(tw.lo[None, :, None], tw.hi[None, :, None]))
+    return gl.stack([s, t], axis=1).reshape(n, batch)
+
+
+def _butterfly_inv(x: GL, tw: GL, k: int, n: int, batch: int) -> GL:
+    half = n >> (k + 1)
+    x = x.reshape(1 << k, 2, half, batch)
+    s = x[:, 0]
+    t = x[:, 1]
+    tv = gl.mul(t, GL(tw.lo[None, :, None], tw.hi[None, :, None]))
+    u = gl.add(s, tv)
+    v = gl.sub(s, tv)
+    return gl.stack([u, v], axis=1).reshape(n, batch)
+
+
+def ntt_cols(x: GL, plan: NttPlan) -> GL:
+    """Forward NTT along axis 0 of (n, B): natural coeffs → bitreversed evals."""
+    n, batch = x.shape
+    assert n == plan.n
+    for k in range(plan.log_n):
+        x = _butterfly_fwd(x, plan.fwd_twiddles[k], k, n, batch)
+    return x
+
+
+def intt_cols(y: GL, plan: NttPlan) -> GL:
+    """Inverse NTT along axis 0 of (n, B): bitreversed evals → natural coeffs."""
+    n, batch = y.shape
+    assert n == plan.n
+    for k in reversed(range(plan.log_n)):
+        y = _butterfly_inv(y, plan.inv_twiddles[k], k, n, batch)
+    n_inv = gl.full((1, 1), plan.n_inv)
+    return gl.mul(y, gl.broadcast_to(n_inv, (n, batch)))
+
+
+def distribute_powers(x: GL, base: int) -> GL:
+    """x[i, :] *= base^i (reference src/fft/mod.rs:308)."""
+    n = x.shape[0]
+    powers = materialize_powers(base, n)
+    return gl.mul(x, GL(powers.lo[:, None], powers.hi[:, None]))
+
+
+def coset_ntt_cols(x: GL, coset: int, plan: NttPlan) -> GL:
+    """Evals of f on the coset ``coset · <ω>`` in bitreversed order."""
+    if coset != 1:
+        x = distribute_powers(x, coset)
+    return ntt_cols(x, plan)
+
+
+def coset_intt_cols(y: GL, coset: int, plan: NttPlan) -> GL:
+    """Inverse of :func:`coset_ntt_cols`."""
+    x = intt_cols(y, plan)
+    if coset != 1:
+        x = distribute_powers(x, gl.s_inv(coset))
+    return x
+
+
+def lde_cosets(log_n: int, lde_factor: int) -> list[int]:
+    """The lde_factor coset shifts g·ω_lde^k used by the reference's LDE
+    (transform_monomials_to_lde, src/cs/implementations/utils.rs:311):
+    coset k evaluates f on (g · ω_{n·lde}^{bitrev_lde(k)}) · <ω_n>.
+
+    We enumerate cosets in **bitreversed order of k** so that the
+    concatenation [coset_0 evals | coset_1 evals | …] with per-coset
+    bitreversed ordering equals the bitreversed enumeration of the full
+    degree-(n·lde) domain evaluation of f on g·<ω_{n·lde}>."""
+    full_log = log_n + (lde_factor.bit_length() - 1)
+    omega_big = gl.domain_generator(full_log)
+    g = gl.MULTIPLICATIVE_GENERATOR
+    log_lde = lde_factor.bit_length() - 1
+    rev = bitreverse_indices(log_lde) if log_lde > 0 else np.array([0])
+    return [gl.s_mul(g, gl.s_pow(omega_big, int(rev[k]))) for k in range(lde_factor)]
+
+
+def lde_from_monomials(coeffs: GL, log_n: int, lde_factor: int) -> GL:
+    """LDE: monomial coefficients (n, B) → (lde_factor, n, B) bitreversed
+    coset evals. Output axis-0 index k is the bitreversed-coset enumeration
+    (see :func:`lde_cosets`), matching the reference's storage convention
+    (GenericLdeStorage, src/cs/implementations/polynomial/lde.rs:106)."""
+    plan = get_plan(log_n)
+    outs = [coset_ntt_cols(coeffs, c, plan) for c in lde_cosets(log_n, lde_factor)]
+    return gl.stack(outs, axis=0)
+
+
+def monomials_from_lde_coset0(evals: GL, log_n: int, lde_factor: int) -> GL:
+    """Recover monomials from the first stored coset's evals (n, B)."""
+    plan = get_plan(log_n)
+    coset = lde_cosets(log_n, lde_factor)[0]
+    return coset_intt_cols(evals, coset, plan)

@@ -1,0 +1,19 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware (the driver dry-runs the real multichip path).
+# Force CPU: the ambient environment exports JAX_PLATFORMS=axon (remote TPU
+# tunnel) whose per-dispatch latency makes eager tests unusable; tests run on
+# a virtual 8-device CPU mesh so sharding paths are exercised without TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/boojum_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

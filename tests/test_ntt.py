@@ -1,0 +1,108 @@
+"""NTT parity tests vs a naive exact DFT (mirrors src/fft/mod.rs:1298-1712)."""
+
+import jax
+import numpy as np
+import pytest
+
+from boojum_tpu.field import goldilocks as gl
+from boojum_tpu.ntt import ntt
+
+P = gl.ORDER
+RNG = np.random.default_rng(42)
+
+
+def naive_dft(coeffs, coset, log_n):
+    """Exact evals at coset*ω^k, natural k order, via Python ints."""
+    n = 1 << log_n
+    omega = gl.domain_generator(log_n)
+    out = []
+    for k in range(n):
+        x = (coset * pow(omega, k, P)) % P
+        acc, xp = 0, 1
+        for c in coeffs:
+            acc = (acc + int(c) * xp) % P
+            xp = (xp * x) % P
+        out.append(acc)
+    return np.array(out, dtype=np.uint64)
+
+
+@pytest.mark.parametrize("log_n", [3, 4, 6])
+def test_ntt_matches_naive_dft(log_n):
+    n = 1 << log_n
+    B = 3
+    coeffs = RNG.integers(0, P, size=(n, B), dtype=np.uint64)
+    plan = ntt.get_plan(log_n)
+    got = gl.to_u64(ntt.ntt_cols(gl.from_u64(coeffs), plan))
+    rev = ntt.bitreverse_indices(log_n)
+    for b in range(B):
+        want = naive_dft(coeffs[:, b], 1, log_n)
+        assert np.array_equal(got[:, b], want[rev]), f"col {b}"
+
+
+def test_coset_ntt_matches_naive_dft():
+    log_n = 4
+    n = 1 << log_n
+    coeffs = RNG.integers(0, P, size=(n, 2), dtype=np.uint64)
+    plan = ntt.get_plan(log_n)
+    coset = gl.MULTIPLICATIVE_GENERATOR
+    got = gl.to_u64(ntt.coset_ntt_cols(gl.from_u64(coeffs), coset, plan))
+    rev = ntt.bitreverse_indices(log_n)
+    for b in range(2):
+        want = naive_dft(coeffs[:, b], coset, log_n)
+        assert np.array_equal(got[:, b], want[rev])
+
+
+@pytest.mark.parametrize("log_n", [1, 5, 10])
+def test_roundtrip(log_n):
+    n = 1 << log_n
+    coeffs = RNG.integers(0, P, size=(n, 4), dtype=np.uint64)
+    plan = ntt.get_plan(log_n)
+    x = gl.from_u64(coeffs)
+    back = ntt.intt_cols(ntt.ntt_cols(x, plan), plan)
+    assert np.array_equal(gl.to_u64(back), coeffs)
+
+
+def test_coset_roundtrip():
+    log_n = 6
+    n = 1 << log_n
+    coeffs = RNG.integers(0, P, size=(n, 2), dtype=np.uint64)
+    plan = ntt.get_plan(log_n)
+    x = gl.from_u64(coeffs)
+    coset = 12345
+    back = ntt.coset_intt_cols(ntt.coset_ntt_cols(x, coset, plan), coset, plan)
+    assert np.array_equal(gl.to_u64(back), coeffs)
+
+
+def test_lde_is_full_domain_bitreversed():
+    """Concatenated per-coset LDE evals == bitreversed evals of f over the
+    full lde-sized coset g·<ω_{n·lde}> — the reference's storage invariant."""
+    log_n, lde = 3, 4
+    n = 1 << log_n
+    coeffs = RNG.integers(0, P, size=(n, 1), dtype=np.uint64)
+    out = gl.to_u64(ntt.lde_from_monomials(gl.from_u64(coeffs), log_n, lde))
+    # full-domain naive eval
+    full_log = log_n + 2
+    g = gl.MULTIPLICATIVE_GENERATOR
+    want_nat = naive_dft(
+        np.concatenate([coeffs[:, 0], np.zeros(n * (lde - 1), dtype=np.uint64)]),
+        g, full_log)
+    rev_full = ntt.bitreverse_indices(full_log)
+    flat = out[:, :, 0].reshape(-1)
+    assert np.array_equal(flat, want_nat[rev_full])
+
+
+def test_materialize_powers():
+    pw = gl.to_u64(ntt.materialize_powers(7, 100))
+    want = np.array([pow(7, i, P) for i in range(100)], dtype=np.uint64)
+    assert np.array_equal(pw, want)
+
+
+def test_ntt_jit_under_mesh_batch():
+    """ntt_cols is jit-compatible and shape-stable."""
+    log_n = 8
+    plan = ntt.get_plan(log_n)
+    f = jax.jit(lambda x: ntt.ntt_cols(x, plan))
+    coeffs = RNG.integers(0, P, size=(1 << log_n, 8), dtype=np.uint64)
+    a = f(gl.from_u64(coeffs))
+    b = ntt.ntt_cols(gl.from_u64(coeffs), plan)
+    assert np.array_equal(gl.to_u64(a), gl.to_u64(b))
