@@ -1,0 +1,103 @@
+"""Classic Poseidon permutation over Goldilocks, width 12 (Plonky2-compatible).
+
+Reference behavior: src/implementations/poseidon_goldilocks_naive.rs — the
+non-optimized but semantics-defining path (full/partial rounds at :123-147,
+MDS circulant of powers of two, constants shared with Poseidon2). Used by the
+``GoldilocksPoisedonTranscript`` (reference transcript.rs:131-139) and as an
+alternative tree hasher.
+
+TPU design mirrors :mod:`poseidon2`: batch is a list of 12 GL arrays; the MDS
+circulant rows are power-of-two scalings (exps <= 16), so each output element
+is a sum of 12 ``mul_by_u32`` terms — still pure VPU elementwise work.
+"""
+
+from __future__ import annotations
+
+from ..field import goldilocks as gl
+from ..field.goldilocks import GL, ORDER
+from . import _poseidon_constants as C
+from .poseidon2 import _sbox7, _s_sbox7  # same x^7 S-box
+
+STATE_WIDTH = C.STATE_WIDTH
+RATE = C.RATE
+CAPACITY = C.CAPACITY
+
+_RC = C.ALL_ROUND_CONSTANTS
+_R_F_HALF = C.HALF_NUM_FULL_ROUNDS
+_R_P = C.NUM_PARTIAL_ROUNDS
+_EXPS = C.MDS_MATRIX_EXPS
+
+# MDS[row][col] = 2^EXPS[(12 - row + col) % 12]
+_MDS_POW = [[1 << _EXPS[(12 - r + c) % 12] for c in range(12)] for r in range(12)]
+
+
+def mds(state: list[GL]) -> list[GL]:
+    out = []
+    for r in range(12):
+        acc = None
+        for c in range(12):
+            term = gl.mul_by_u32(state[c], _MDS_POW[r][c])
+            acc = term if acc is None else gl.add(acc, term)
+        out.append(acc)
+    return out
+
+
+def _add_rc(state: list[GL], r: int) -> list[GL]:
+    shape = state[0].shape
+    return [gl.add(s, gl.full(shape, _RC[r * 12 + i])) for i, s in enumerate(state)]
+
+
+def permutation(state: list[GL]) -> list[GL]:
+    assert len(state) == STATE_WIDTH
+    r = 0
+    for _ in range(_R_F_HALF):
+        state = _add_rc(state, r)
+        state = [_sbox7(s) for s in state]
+        state = mds(state)
+        r += 1
+    for _ in range(_R_P):
+        state = _add_rc(state, r)
+        state = [_sbox7(state[0])] + state[1:]
+        state = mds(state)
+        r += 1
+    for _ in range(_R_F_HALF):
+        state = _add_rc(state, r)
+        state = [_sbox7(s) for s in state]
+        state = mds(state)
+        r += 1
+    return state
+
+
+def permutation_gl(state: GL) -> GL:
+    out = permutation([state[i] for i in range(STATE_WIDTH)])
+    return gl.stack(out, axis=0)
+
+
+# ----------------------------------------------------------------------------
+# Exact scalar twin
+# ----------------------------------------------------------------------------
+
+
+def _s_mds(state):
+    return [sum(state[c] * _MDS_POW[r][c] for c in range(12)) % ORDER for r in range(12)]
+
+
+def s_permutation(state: list[int]) -> list[int]:
+    assert len(state) == STATE_WIDTH
+    r = 0
+    for _ in range(_R_F_HALF):
+        state = [(s + _RC[r * 12 + i]) % ORDER for i, s in enumerate(state)]
+        state = [_s_sbox7(s) for s in state]
+        state = _s_mds(state)
+        r += 1
+    for _ in range(_R_P):
+        state = [(s + _RC[r * 12 + i]) % ORDER for i, s in enumerate(state)]
+        state = [_s_sbox7(state[0])] + state[1:]
+        state = _s_mds(state)
+        r += 1
+    for _ in range(_R_F_HALF):
+        state = [(s + _RC[r * 12 + i]) % ORDER for i, s in enumerate(state)]
+        state = [_s_sbox7(s) for s in state]
+        state = _s_mds(state)
+        r += 1
+    return state
