@@ -1,0 +1,528 @@
+"""The constraint system: synthesis-time state + frozen assembly.
+
+Reference behavior: src/cs/implementations/reference_cs.rs (state fields :26),
+src/cs/implementations/cs.rs (ConstraintSystem impl), gate placement helpers
+(src/cs/gates/mod.rs:176-341), lookup placement
+(src/cs/implementations/lookup_placement.rs), pad_and_shrink
+(src/cs/implementations/setup.rs:99-373).
+
+TPU-first deviations from the reference:
+- trace handle storage is preallocated numpy (columns x max_trace_len uint64)
+  so gadget batches place thousands of gate instances with vectorized
+  scatters instead of per-instance method calls;
+- the witness "DAG" is the vectorized immediate resolver
+  (boojum_tpu.cs.resolver);
+- gate evaluators are registered as plain Python objects evaluated through
+  the ops protocol (no type-level machinery; dead paths are cut by config
+  flags at runtime, cf. src/config.rs type-level configs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils import npgl
+from . import places
+from .geometry import CSGeometry, LookupParameters, INITIAL_LOOKUP_TABLE_ID_VALUE
+from .resolver import WitnessResolver
+
+
+@dataclass(frozen=True)
+class CSConfig:
+    """Runtime analogue of the reference's type-level CSConfig presets
+    (src/config.rs:27-131)."""
+
+    evaluate_witness: bool = True
+    keep_setup: bool = True
+    runtime_asserts: bool = True
+
+    @staticmethod
+    def dev():
+        return CSConfig(True, True, True)
+
+    @staticmethod
+    def setup():
+        return CSConfig(False, True, False)
+
+    @staticmethod
+    def proving():
+        return CSConfig(True, False, False)
+
+
+@dataclass
+class LookupTable:
+    """A lookup table: content rows are (keys..., values...) canonical u64.
+
+    Reference: src/cs/implementations/lookup_table.rs:188. ``content`` is a
+    numpy (num_rows, width) array; lookup_row resolves key tuples to row ids.
+    """
+
+    name: str
+    content: np.ndarray  # (num_rows, width) uint64
+    num_keys: int
+
+    index: dict = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        self.content = np.asarray(self.content, np.uint64)
+        if not self.index:
+            for i, row in enumerate(self.content):
+                self.index[tuple(int(x) for x in row[:self.num_keys])] = i
+
+    @property
+    def width(self):
+        return self.content.shape[1]
+
+    def __len__(self):
+        return self.content.shape[0]
+
+    def lookup_rows(self, keys: np.ndarray) -> np.ndarray:
+        """keys: (num_keys, n) -> row indices (n,). Vectorized via dict in a
+        loop for now; tables are small (<= 2^16)."""
+        n = keys.shape[1]
+        out = np.empty(n, np.int64)
+        idx = self.index
+        cols = [keys[i] for i in range(self.num_keys)]
+        for j in range(n):
+            out[j] = idx[tuple(int(c[j]) for c in cols)]
+        return out
+
+    def lookup_values(self, keys: np.ndarray) -> np.ndarray:
+        rows = self.lookup_rows(keys)
+        return self.content[rows, self.num_keys:].T.copy()
+
+
+def _lookup_columns_cleanup(cs: "ConstraintSystem", final_len: int):
+    """Pad partial lookup rows with their own table's first row, and fill all
+    vacant rows below ``final_len`` with table-1 dummy lookups, counting
+    multiplicities (reference lookup_marker.rs pad_partial_rows /
+    pad_full_rows)."""
+    lp = cs.lookup_parameters
+    pw = lp.specialized_columns_per_repetition()
+    cap = lp.num_repetitions
+
+    def pad_instances(table_idx: int, row: int, start_rep: int, count: int):
+        table = cs.lookup_tables[table_idx]
+        first = table.content[0]
+        if cs.config.evaluate_witness:
+            cs.lookup_multiplicities[table_idx][0] += count
+            vs = cs.alloc_variables_with_values(np.tile(first, count))
+        else:
+            vs = cs.alloc_variables(count * table.width)
+        vs = vs.reshape(count, table.width)
+        for r in range(count):
+            rep = start_rep + r
+            for j in range(table.width):
+                cs.specialized_copy_data[rep * pw + j, row] = vs[r, j]
+
+    # partial rows per table
+    for t_idx, state in enumerate(cs.lookup_tooling):
+        if state is not None:
+            row, count = state
+            pad_instances(t_idx, row, count, cap - count)
+            cs.lookup_tooling[t_idx] = None
+    # full vacant rows -> table 1 (index 0)
+    for row in range(cs.lookup_next_row, final_len):
+        cs.specialized_constants[0, row] = INITIAL_LOOKUP_TABLE_ID_VALUE
+        pad_instances(0, row, 0, cap)
+    cs.lookup_next_row = final_len
+
+
+class ConstraintSystem:
+    def __init__(self, geometry: CSGeometry, max_trace_len: int,
+                 config: CSConfig = None, max_variables: int = 1 << 26):
+        self.geometry = geometry
+        self.max_trace_len = max_trace_len
+        self.config = config or CSConfig.dev()
+        self.lookup_parameters = LookupParameters.no_lookup()
+
+        nc = geometry.num_columns_under_copy_permutation
+        nw = geometry.num_witness_columns
+        if self.config.keep_setup:
+            self.copy_permutation_data = np.full(
+                (nc, max_trace_len), places.PLACEHOLDER, np.uint64)
+            self.witness_placement_data = np.full(
+                (nw, max_trace_len), places.PLACEHOLDER, np.uint64) if nw else \
+                np.zeros((0, max_trace_len), np.uint64)
+        else:
+            self.copy_permutation_data = None
+            self.witness_placement_data = None
+        self.constants_requested_per_row: list[list[int]] = []
+        self.gates_application_sets: list[int] = []
+        self.next_available_row = 0
+        self.next_place_idx = 0
+
+        # specialized-column storage (lookups; specialized gates in later rounds)
+        self.specialized_copy_data = None  # allocated on allow_lookup
+        self.specialized_constants = None
+        self.specialized_next_row = 0
+
+        # evaluator registries
+        self.evaluators_general = []  # ordered GateEvaluator list
+        self.general_idx_by_name: dict[str, int] = {}
+        self.evaluators_specialized = []
+        self.specialized_idx_by_name: dict[str, int] = {}
+        self.placement_strategy: dict[str, str] = {}  # name -> 'general'|'specialized'
+
+        # tooling
+        self.tooling: dict[str, dict] = {}
+        self.static_tools: dict[str, dict] = {}
+        self.lookup_tooling: list = []  # per table: None | (row, count)
+        self.lookup_next_row = 0
+
+        self.lookup_tables: list[LookupTable] = []
+        self.lookup_multiplicities: list[np.ndarray] = []
+
+        self.public_inputs: list[tuple[int, int]] = []
+        self.row_cleanups = []
+        self.columns_cleanups = []
+
+        self.resolver = WitnessResolver(max_variables) \
+            if self.config.evaluate_witness else None
+
+    # -- registration --------------------------------------------------------
+
+    def allow_gate(self, gate_cls, placement: str = "general", params=None):
+        ev = gate_cls.make_evaluator(params) if params is not None \
+            else gate_cls.make_evaluator()
+        name = ev.name
+        if name in self.placement_strategy:
+            return self
+        self.placement_strategy[name] = placement
+        if placement == "general":
+            self.general_idx_by_name[name] = len(self.evaluators_general)
+            self.evaluators_general.append(ev)
+        else:
+            self.specialized_idx_by_name[name] = len(self.evaluators_specialized)
+            self.evaluators_specialized.append(ev)
+        self.tooling[name] = {}
+        if hasattr(gate_cls, "init_tools"):
+            gate_cls.init_tools(self)
+        return self
+
+    def gate_is_allowed(self, name: str) -> bool:
+        return name in self.placement_strategy
+
+    def allow_lookup(self, params: LookupParameters):
+        assert not self.lookup_parameters.lookup_is_allowed
+        self.lookup_parameters = params
+        if params.is_specialized and self.config.keep_setup:
+            ncols = params.total_specialized_lookup_variable_columns()
+            self.specialized_copy_data = np.full(
+                (ncols, self.max_trace_len), places.PLACEHOLDER, np.uint64)
+            nconst = params.total_specialized_lookup_constant_columns()
+            self.specialized_constants = np.zeros(
+                (nconst, self.max_trace_len), np.uint64)
+            # every trace row must carry valid lookups in every repetition
+            # (A(x)·(Σγⁱcolᵢ+β) == 1 holds on ALL rows — reference
+            # lookup_marker.rs:259 columns_finalization_function)
+            self.columns_cleanups.append(_lookup_columns_cleanup)
+        return self
+
+    # -- variables -----------------------------------------------------------
+
+    def alloc_variable(self) -> int:
+        idx = self.next_place_idx
+        self.next_place_idx += 1
+        return idx
+
+    def alloc_variables(self, n: int) -> np.ndarray:
+        start = self.next_place_idx
+        self.next_place_idx += n
+        return np.arange(start, start + n, dtype=np.uint64)
+
+    def alloc_witness(self) -> int:
+        return self.alloc_variable() | places.WITNESS_BIT
+
+    def alloc_variable_with_value(self, value: int) -> int:
+        v = self.alloc_variable()
+        if self.resolver is not None:
+            self.resolver.set_value(v, value % npgl.ORDER)
+        return v
+
+    def alloc_variables_with_values(self, values) -> np.ndarray:
+        values = np.asarray(values, np.uint64)
+        vs = self.alloc_variables(values.shape[0])
+        if self.resolver is not None:
+            self.resolver.set_values(vs, values)
+        return vs
+
+    def set_values_with_dependencies(self, ins, outs, fn):
+        if self.resolver is not None:
+            self.resolver.add_resolution(ins, outs, fn)
+
+    def get_value(self, place) -> int:
+        return self.resolver.get_value(place)
+
+    def get_values(self, plcs) -> np.ndarray:
+        return self.resolver.get_values(plcs)
+
+    # -- row claiming / placement -------------------------------------------
+
+    def _claim_rows(self, m: int, evaluator_idx: int) -> np.ndarray:
+        start = self.next_available_row
+        assert start + m <= self.max_trace_len, "out of trace rows"
+        self.next_available_row += m
+        self.gates_application_sets.extend([evaluator_idx] * m)
+        self.constants_requested_per_row.extend([] for _ in range(m))
+        return np.arange(start, start + m, dtype=np.int64)
+
+    def place_general_gate_batch(self, name: str, key, constants: list[int],
+                                 vars_2d: np.ndarray, constants_per_instance=False):
+        """Place n instances of a general-purpose gate sharing tooling ``key``.
+
+        vars_2d: (n, principal_width) variable handles. ``constants`` are the
+        row-shared constants (written once per claimed row) unless
+        ``constants_per_instance`` (ConstantsAllocator-style: each instance
+        appends its own constants to the row).
+
+        Mirrors find_next_gate (src/cs/gates/mod.rs:176) batched.
+        """
+        if not self.config.keep_setup:
+            return
+        ev_idx = self.general_idx_by_name[name]
+        ev = self.evaluators_general[ev_idx]
+        cap = ev.num_repetitions(self.geometry)
+        vars_2d = np.asarray(vars_2d, np.uint64)
+        n, pw = vars_2d.shape
+        assert pw == ev.num_variables
+
+        rows = np.empty(n, np.int64)
+        offsets = np.empty(n, np.int64)
+        tool = self.tooling[name]
+        i = 0
+        if key in tool:
+            row, count = tool.pop(key)
+            take = min(cap - count, n)
+            rows[:take] = row
+            offsets[:take] = count + np.arange(take)
+            i = take
+            count += take
+            if count < cap:
+                tool[key] = (row, count)
+        if i < n:
+            rem = n - i
+            num_new = -(-rem // cap)
+            new_rows = self._claim_rows(num_new, ev_idx)
+            if not constants_per_instance:
+                for r in new_rows:
+                    self.constants_requested_per_row[r] = list(constants)
+            idx = np.arange(rem)
+            rows[i:] = new_rows[idx // cap]
+            offsets[i:] = idx % cap
+            last_count = rem - (num_new - 1) * cap
+            if last_count < cap:
+                tool[key] = (int(new_rows[-1]), last_count)
+        if constants_per_instance:
+            # each instance contributes num_constants constants at its offset
+            for j in range(n):
+                row_consts = self.constants_requested_per_row[rows[j]]
+                want_len = (offsets[j] + 1) * len(constants[j])
+                while len(row_consts) < want_len:
+                    row_consts.append(0)
+                for t, c in enumerate(constants[j]):
+                    row_consts[offsets[j] * len(constants[j]) + t] = c
+        # scatter variables
+        col_base = offsets * pw
+        for j in range(pw):
+            self.copy_permutation_data[col_base + j, rows] = vars_2d[:, j]
+        return rows, offsets
+
+    def place_nop_rows(self, count: int):
+        ev_idx = self.general_idx_by_name["nop"]
+        self._claim_rows(count, ev_idx)
+
+    def set_public(self, column: int, row: int):
+        assert (column, row) not in self.public_inputs
+        self.public_inputs.append((column, row))
+
+    # -- lookups -------------------------------------------------------------
+
+    def add_lookup_table(self, table: LookupTable) -> int:
+        assert self.lookup_parameters.lookup_is_allowed
+        assert table.width == self.lookup_parameters.lookup_width()
+        table_id = len(self.lookup_tables) + INITIAL_LOOKUP_TABLE_ID_VALUE
+        self.lookup_tables.append(table)
+        self.lookup_multiplicities.append(np.zeros(len(table), np.int64))
+        self.lookup_tooling.append(None)
+        return table_id
+
+    def get_table(self, table_id: int) -> LookupTable:
+        return self.lookup_tables[table_id - INITIAL_LOOKUP_TABLE_ID_VALUE]
+
+    def lookups_tables_total_len(self) -> int:
+        return sum(len(t) for t in self.lookup_tables)
+
+    def enforce_lookup_batch(self, table_id: int, keys_and_values: np.ndarray):
+        """keys_and_values: (width, n) variable handles; counts multiplicities
+        and places n lookup instances in the specialized columns.
+
+        Mirrors enforce_lookup_over_specialized_columns
+        (src/cs/implementations/lookup_placement.rs:112) batched.
+        """
+        lp = self.lookup_parameters
+        assert lp.is_specialized and lp.id_in_constant
+        tbl_idx = table_id - INITIAL_LOOKUP_TABLE_ID_VALUE
+        kv = np.asarray(keys_and_values, np.uint64)
+        width, n = kv.shape
+        assert width == lp.width
+
+        if self.config.evaluate_witness:
+            table = self.lookup_tables[tbl_idx]
+            mults = self.lookup_multiplicities[tbl_idx]
+            num_keys = table.num_keys
+
+            def count_fn(vals):
+                rows = table.lookup_rows(vals[:num_keys])
+                np.add.at(mults, rows, 1)
+                return np.zeros((0,), np.uint64)
+
+            self.resolver.add_resolution(kv, np.zeros((0,), np.uint64), count_fn)
+
+        if not self.config.keep_setup:
+            return
+        cap = lp.num_repetitions
+        rows = np.empty(n, np.int64)
+        offsets = np.empty(n, np.int64)
+        i = 0
+        state = self.lookup_tooling[tbl_idx]
+        if state is not None:
+            row, count = state
+            take = min(cap - count, n)
+            rows[:take] = row
+            offsets[:take] = count + np.arange(take)
+            i = take
+            count += take
+            self.lookup_tooling[tbl_idx] = (row, count) if count < cap else None
+        if i < n:
+            rem = n - i
+            num_new = -(-rem // cap)
+            new_rows = self.lookup_next_row + np.arange(num_new)
+            self.lookup_next_row += num_new
+            assert self.lookup_next_row <= self.max_trace_len
+            idx = np.arange(rem)
+            rows[i:] = new_rows[idx // cap]
+            offsets[i:] = idx % cap
+            last_count = rem - (num_new - 1) * cap
+            self.lookup_tooling[tbl_idx] = \
+                (int(new_rows[-1]), last_count) if last_count < cap else None
+            # shared table-id constant column: id per row
+            if lp.share_table_id:
+                self.specialized_constants[0, new_rows] = table_id
+        pwidth = lp.specialized_columns_per_repetition()
+        col_base = offsets * pwidth
+        for j in range(width):
+            self.specialized_copy_data[col_base + j, rows] = kv[j]
+        if not lp.share_table_id:
+            raise NotImplementedError("per-repetition table id columns")
+
+    def enforce_lookup(self, table_id: int, keys_and_values):
+        kv = np.asarray(keys_and_values, np.uint64).reshape(-1, 1)
+        self.enforce_lookup_batch(table_id, kv)
+
+    # -- finalization --------------------------------------------------------
+
+    def pad_and_shrink(self):
+        """Pad to power-of-two trace length (reference setup.rs:99): run row
+        cleanups, reserve one unusable row, cover lookup tables, fill the
+        rest with NOPs. Returns the final trace length (the hint analogue)."""
+        for cleanup in self.row_cleanups:
+            cleanup(self)
+        required = self.next_available_row + 1
+        required = max(required, self.lookups_tables_total_len(),
+                       self.lookup_next_row + 1)
+        final_len = 1 << (required - 1).bit_length()
+        assert final_len <= self.max_trace_len
+        for cleanup in self.columns_cleanups:
+            cleanup(self, final_len)
+        nops = final_len - self.next_available_row
+        if "nop" in self.general_idx_by_name and nops > 0:
+            self.place_nop_rows(nops)
+        self.final_trace_len = final_len
+        return final_len
+
+    # -- satisfiability oracle (reference satisfiability_test.rs:15) ---------
+
+    def materialize_value_columns(self, n: int):
+        """Gather resolved values into (num_copy_cols, n) uint64; placeholder
+        cells read as zero. Also specialized columns and witness columns."""
+        vals = self.resolver.values
+
+        def gather(data):
+            idx = places.index_of(data[:, :n])
+            ph = (data[:, :n] & np.uint64(places.PLACEHOLDER_BIT)) != 0
+            out = vals[np.minimum(idx, vals.shape[0] - 1)]
+            out[ph] = 0
+            return out
+
+        copy_cols = gather(self.copy_permutation_data)
+        wit_cols = gather(self.witness_placement_data) \
+            if self.witness_placement_data is not None and \
+            self.witness_placement_data.shape[0] else np.zeros((0, n), np.uint64)
+        spec_cols = gather(self.specialized_copy_data) \
+            if self.specialized_copy_data is not None else np.zeros((0, n), np.uint64)
+        return copy_cols, wit_cols, spec_cols
+
+    def check_if_satisfied(self, verbose: bool = True) -> bool:
+        from .gates.base import NpOps, TraceView
+        n = getattr(self, "final_trace_len", None) or self.next_available_row
+        copy_cols, wit_cols, spec_cols = self.materialize_value_columns(n)
+        app = np.asarray(self.gates_application_sets, np.int64)
+        app = app[:n] if app.shape[0] >= n else np.concatenate(
+            [app, np.full(n - app.shape[0], -1, np.int64)])
+
+        # per-row constants at gate-relative offset 0
+        max_c = max((len(c) for c in self.constants_requested_per_row), default=0)
+        max_c = max(max_c, self.geometry.num_constant_columns)
+        const_cols = np.zeros((max_c, n), np.uint64)
+        for r, consts in enumerate(self.constants_requested_per_row[:n]):
+            for j, c in enumerate(consts):
+                const_cols[j, r] = c
+
+        ok = True
+        for idx, ev in enumerate(self.evaluators_general):
+            if ev.num_quotient_terms == 0:
+                continue
+            mask = app == idx
+            if not mask.any():
+                continue
+            src = TraceView([copy_cols[i] for i in range(copy_cols.shape[0])],
+                            [wit_cols[i] for i in range(wit_cols.shape[0])],
+                            [const_cols[i] for i in range(const_cols.shape[0])])
+            terms = ev.evaluate_repetitions(src, NpOps, self.geometry)
+            for t_i, term in enumerate(terms):
+                bad = mask & (np.broadcast_to(term, (n,)) != 0)
+                if bad.any():
+                    ok = False
+                    if verbose:
+                        rows = np.nonzero(bad)[0][:5]
+                        print(f"gate {ev.name} term {t_i} violated at rows {rows}")
+        # lookup membership
+        lp = self.lookup_parameters
+        if lp.is_specialized and self.specialized_copy_data is not None:
+            pw = lp.specialized_columns_per_repetition()
+            n_lookup_rows = self.lookup_next_row
+            for rep in range(lp.num_repetitions):
+                block = spec_cols[rep * pw:(rep + 1) * pw, :n_lookup_rows]
+                handles = self.specialized_copy_data[
+                    rep * pw, :n_lookup_rows]
+                live = (handles & np.uint64(places.PLACEHOLDER_BIT)) == 0
+                ids = self.specialized_constants[0, :n_lookup_rows]
+                for r in np.nonzero(live)[0]:
+                    table = self.get_table(int(ids[r]))
+                    key = tuple(int(block[i, r]) for i in range(table.num_keys))
+                    row_idx = table.index.get(key)
+                    if row_idx is None:
+                        ok = False
+                        if verbose:
+                            print(f"lookup miss at rep {rep} row {r}: {key}")
+                        continue
+                    want = table.content[row_idx]
+                    got = tuple(int(block[i, r]) for i in range(pw))
+                    if got != tuple(int(x) for x in want):
+                        ok = False
+                        if verbose:
+                            print(f"lookup value mismatch rep {rep} row {r}")
+        return ok

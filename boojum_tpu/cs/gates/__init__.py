@@ -1,0 +1,18 @@
+"""Gate library (reference src/cs/gates/, 29 files — built out over rounds)."""
+
+from .base import Ext2Ops, GateEvaluator, GLOps, NpOps, TraceView  # noqa: F401
+from .simple import (  # noqa: F401
+    BooleanConstraintGate,
+    ConditionalSwapGate,
+    ConstantsAllocatorGate,
+    DotProductGate,
+    FmaGate,
+    NopGate,
+    ParallelSelectionGate,
+    PublicInputGate,
+    QuadraticCombinationGate,
+    ReductionByPowersGate,
+    ReductionGate,
+    SelectionGate,
+    ZeroCheckGate,
+)

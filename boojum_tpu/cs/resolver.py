@@ -1,0 +1,101 @@
+"""Witness resolver: dependency-ordered vectorized witness program.
+
+Replaces the reference's lock-free multithreaded DAG resolver (src/dag/,
+7.5k LoC — MtCircuitResolver, Guide, ResolutionWindow) with the TPU-idiomatic
+design from SURVEY §2.6: gadgets register *vectorized* resolution nodes
+(numpy closures over whole variable batches); execution is immediate (gadget
+code registers dependencies after their inputs exist — the invariant the
+reference's StCircuitResolver also relies on), and every node is recorded so
+repeated proving replays the program without re-synthesis (the reference's
+ResolutionRecord playback, src/dag/resolvers/mt/sorters/sorter_playback.rs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from . import places
+
+_GROW = 1 << 16
+
+
+class WitnessResolver:
+    def __init__(self, max_variables: int = 1 << 26):
+        self.max_variables = max_variables
+        self.values = np.zeros(_GROW, np.uint64)
+        self.resolved = np.zeros(_GROW, bool)
+        self.record: list[tuple[Callable | None, np.ndarray | None, np.ndarray]] = []
+        self.track_record = True
+
+    def _ensure(self, max_idx: int):
+        if max_idx >= self.values.shape[0]:
+            new_size = max(self.values.shape[0] * 2, max_idx + 1)
+            self.values = np.resize(self.values, new_size)
+            self.values[max_idx:] = 0
+            self.resolved = np.resize(self.resolved, new_size)
+            self.resolved[max_idx:] = False
+
+    # -- write paths ---------------------------------------------------------
+
+    def set_value(self, place: int, value: int):
+        idx = places.index_of(place)
+        self._ensure(idx)
+        self.values[idx] = value
+        self.resolved[idx] = True
+        if self.track_record:
+            self.record.append((None, np.asarray([value], np.uint64),
+                                np.asarray([place], np.uint64)))
+
+    def set_values(self, plcs, values):
+        """Vectorized set of constants: plcs/values are 1-D arrays."""
+        plcs = np.asarray(plcs, np.uint64)
+        values = np.asarray(values, np.uint64)
+        idx = places.index_of(plcs)
+        if idx.size:
+            self._ensure(int(idx.max()))
+            self.values[idx] = values
+            self.resolved[idx] = True
+        if self.track_record:
+            self.record.append((None, values.copy(), plcs.copy()))
+
+    def add_resolution(self, ins, outs, fn: Callable):
+        """fn maps the gathered input value array (same shape as ``ins``) to
+        an array shaped like ``outs``. Executed immediately; recorded for
+        playback. ``ins``/``outs`` may be any-shaped uint64 place arrays."""
+        ins = np.asarray(ins, np.uint64)
+        outs = np.asarray(outs, np.uint64)
+        in_idx = places.index_of(ins)
+        out_vals = np.asarray(fn(self.values[in_idx]), np.uint64)
+        out_idx = places.index_of(outs)
+        if out_idx.size:
+            self._ensure(int(out_idx.max()))
+            self.values[out_idx] = out_vals.reshape(out_idx.shape)
+            self.resolved[out_idx] = True
+        if self.track_record:
+            self.record.append((fn, ins.copy(), outs.copy()))
+
+    # -- read paths ----------------------------------------------------------
+
+    def get_value(self, place: int) -> int:
+        idx = places.index_of(place)
+        assert self.resolved[idx], f"place {place} not resolved"
+        return int(self.values[idx])
+
+    def get_values(self, plcs) -> np.ndarray:
+        idx = places.index_of(np.asarray(plcs, np.uint64))
+        return self.values[idx]
+
+    # -- playback ------------------------------------------------------------
+
+    def playback(self, record) -> "WitnessResolver":
+        """Execute a recorded program into a fresh resolver (no re-recording)."""
+        out = WitnessResolver(self.max_variables)
+        out.track_record = False
+        for fn, ins, outs in record:
+            if fn is None:
+                out.set_values(outs, ins)
+            else:
+                out.add_resolution(ins, outs, fn)
+        return out

@@ -1,0 +1,177 @@
+"""CS-core tests: npgl host field ops, resolver, gate placement, the
+satisfiability oracle, lookups.
+
+Mirrors reference CS integration tests (src/cs/implementations/cs.rs:1049-)."""
+
+import numpy as np
+import pytest
+
+from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters, LookupTable
+from boojum_tpu.cs.gates import (
+    BooleanConstraintGate, ConstantsAllocatorGate, FmaGate, NopGate,
+    PublicInputGate, ReductionGate, SelectionGate, ZeroCheckGate,
+)
+from boojum_tpu.utils import npgl
+
+P = npgl.ORDER
+RNG = np.random.default_rng(3)
+
+
+def test_npgl_ops():
+    a = RNG.integers(0, P, 1000, dtype=np.uint64)
+    b = RNG.integers(0, P, 1000, dtype=np.uint64)
+    a[:4] = [0, 1, P - 1, 0xFFFFFFFF]
+    b[:4] = [P - 1, P - 1, P - 1, 0xFFFFFFFF]
+    assert np.array_equal(npgl.add(a, b),
+                          np.array([(int(x) + int(y)) % P for x, y in zip(a, b)], np.uint64))
+    assert np.array_equal(npgl.sub(a, b),
+                          np.array([(int(x) - int(y)) % P for x, y in zip(a, b)], np.uint64))
+    assert np.array_equal(npgl.mul(a, b),
+                          np.array([(int(x) * int(y)) % P for x, y in zip(a, b)], np.uint64))
+    inv = npgl.batch_inv(a[a != 0][:50])
+    for x, y in zip(a[a != 0][:50], inv):
+        assert int(x) * int(y) % P == 1
+    pw = npgl.powers(7, 20)
+    assert [int(x) for x in pw] == [pow(7, i, P) for i in range(20)]
+
+
+GEOM = CSGeometry(num_columns_under_copy_permutation=16, num_witness_columns=0,
+                  num_constant_columns=4, max_allowed_constraint_degree=4)
+
+
+def make_cs(max_trace=128, lookup=None):
+    cs = ConstraintSystem(GEOM, max_trace, CSConfig.dev())
+    if lookup:
+        cs.allow_lookup(lookup)
+    cs.allow_gate(ConstantsAllocatorGate)
+    cs.allow_gate(FmaGate)
+    cs.allow_gate(ReductionGate, params=4)
+    cs.allow_gate(BooleanConstraintGate)
+    cs.allow_gate(SelectionGate)
+    cs.allow_gate(ZeroCheckGate)
+    cs.allow_gate(PublicInputGate)
+    cs.allow_gate(NopGate)
+    return cs
+
+
+def test_fma_placement_and_satisfiability():
+    cs = make_cs()
+    a = cs.alloc_variables_with_values(RNG.integers(0, P, 10, dtype=np.uint64))
+    b = cs.alloc_variables_with_values(RNG.integers(0, P, 10, dtype=np.uint64))
+    c = cs.alloc_variables_with_values(RNG.integers(0, P, 10, dtype=np.uint64))
+    d = FmaGate.compute_fma_batch(cs, 3, (a, b), 5, c)
+    # witness values correct
+    av, bv, cv, dv = (cs.get_values(x) for x in (a, b, c, d))
+    for i in range(10):
+        assert int(dv[i]) == (3 * int(av[i]) * int(bv[i]) + 5 * int(cv[i])) % P
+    # capacity: 16 copy cols / width 4 = 4 instances/row -> 10 instances = 3 rows
+    assert cs.next_available_row == 3
+    cs.pad_and_shrink()
+    assert cs.final_trace_len == 4
+    assert cs.check_if_satisfied()
+
+
+def test_fma_row_sharing_by_params():
+    cs = make_cs()
+    vals = RNG.integers(0, P, 2, dtype=np.uint64)
+    x = cs.alloc_variables_with_values(vals)
+    # same params share rows across separate calls
+    FmaGate.compute_fma(cs, 1, (int(x[0]), int(x[0])), 0, int(x[0]))
+    FmaGate.compute_fma(cs, 1, (int(x[1]), int(x[1])), 0, int(x[1]))
+    assert cs.next_available_row == 1
+    # different params -> new row
+    FmaGate.compute_fma(cs, 2, (int(x[0]), int(x[0])), 0, int(x[0]))
+    assert cs.next_available_row == 2
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_constant_allocator_dedup():
+    cs = make_cs()
+    v1 = ConstantsAllocatorGate.allocate_constant(cs, 42)
+    v2 = ConstantsAllocatorGate.allocate_constant(cs, 42)
+    v3 = ConstantsAllocatorGate.allocate_constant(cs, 43)
+    assert v1 == v2 and v1 != v3
+    assert cs.get_value(v3) == 43
+    # capacity = min(4 const cols, 16 copy cols) = 4 per row
+    assert cs.next_available_row == 1
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_reduction_and_boolean_and_select():
+    cs = make_cs()
+    terms = cs.alloc_variables_with_values([2, 3, 5, 7])
+    r = ReductionGate.reduce_terms(cs, [1, 10, 100, 1000], list(terms))
+    assert cs.get_value(r) == 2 + 30 + 500 + 7000
+    bits = BooleanConstraintGate.allocate_batch(cs, [0, 1, 1, 0])
+    sel = SelectionGate.select_batch(cs, terms, terms[::-1].copy(), bits)
+    got = cs.get_values(sel)
+    assert [int(x) for x in got] == [7, 3, 5, 2]
+    zc_in = cs.alloc_variables_with_values([0, 5, 0, 9])
+    flags = ZeroCheckGate.is_zero_batch(cs, zc_in)
+    assert [int(x) for x in cs.get_values(flags)] == [1, 0, 1, 0]
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_satisfiability_catches_bad_witness():
+    cs = make_cs()
+    a = cs.alloc_variables_with_values([3])
+    b = cs.alloc_variables_with_values([4])
+    c = cs.alloc_variables_with_values([0])
+    d = FmaGate.compute_fma_batch(cs, 1, (a, b), 0, c)
+    # corrupt the witness
+    cs.resolver.values[int(d[0])] = 99
+    cs.pad_and_shrink()
+    assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_lookup_specialized():
+    lookup = LookupParameters.specialized_with_table_id_as_constant(
+        width=3, num_repetitions=2, share_table_id=True)
+    cs = make_cs(lookup=lookup)
+    # xor table over 2 bits: (a, b, a^b)
+    rows = [(a, b, a ^ b) for a in range(4) for b in range(4)]
+    table = LookupTable("xor2", np.asarray(rows, np.uint64), num_keys=2)
+    tid = cs.add_lookup_table(table)
+    a = cs.alloc_variables_with_values([1, 2, 3, 0, 1])
+    b = cs.alloc_variables_with_values([3, 1, 3, 2, 1])
+    out_vals = [1 ^ 3, 2 ^ 1, 3 ^ 3, 0 ^ 2, 1 ^ 1]
+    out = cs.alloc_variables_with_values(out_vals)
+    cs.enforce_lookup_batch(tid, np.stack([a, b, out]))
+    # 5 lookups at 2 repetitions/row = 3 rows
+    assert cs.lookup_next_row == 3
+    # multiplicities counted
+    assert int(cs.lookup_multiplicities[0].sum()) == 5
+    cs.pad_and_shrink()
+    assert cs.final_trace_len == 16  # table len 16 dominates
+    assert cs.check_if_satisfied()
+    # wrong value in lookup -> unsatisfied
+    cs2 = make_cs(lookup=lookup)
+    tid2 = cs2.add_lookup_table(LookupTable("xor2", np.asarray(rows, np.uint64), 2))
+    a2 = cs2.alloc_variables_with_values([1])
+    b2 = cs2.alloc_variables_with_values([3])
+    bad = cs2.alloc_variables_with_values([0])  # 1^3 = 2, not 0
+    cs2.enforce_lookup_batch(tid2, np.stack([a2, b2, bad]))
+    cs2.pad_and_shrink()
+    assert not cs2.check_if_satisfied(verbose=False)
+
+
+def test_public_input():
+    cs = make_cs()
+    v = cs.alloc_variables_with_values([77])
+    PublicInputGate.place(cs, int(v[0]))
+    assert cs.public_inputs == [(0, 0)]
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_resolver_playback():
+    cs = make_cs()
+    a = cs.alloc_variables_with_values(RNG.integers(0, P, 5, dtype=np.uint64))
+    b = cs.alloc_variables_with_values(RNG.integers(0, P, 5, dtype=np.uint64))
+    c = cs.alloc_variables_with_values(np.zeros(5, np.uint64))
+    d = FmaGate.compute_fma_batch(cs, 7, (a, b), 0, c)
+    replayed = cs.resolver.playback(cs.resolver.record)
+    assert np.array_equal(replayed.get_values(d), cs.get_values(d))
