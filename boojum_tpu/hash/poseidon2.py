@@ -105,8 +105,8 @@ def _partial_round(state: list[GL], r: int) -> list[GL]:
     return internal_matrix(state)
 
 
-def permutation(state: list[GL]) -> list[GL]:
-    """Poseidon2 permutation on a batch: 12 GL arrays of identical shape."""
+def _permutation_unrolled(state: list[GL]) -> list[GL]:
+    """Fully unrolled form (reference semantics; used by tests)."""
     assert len(state) == STATE_WIDTH
     state = external_mds(state)
     r = 0
@@ -122,10 +122,165 @@ def permutation(state: list[GL]) -> list[GL]:
     return state
 
 
+def _rc_tables():
+    import numpy as np
+    rc = np.asarray(_RC, np.uint64).reshape(30, 12)
+    lo = (rc & 0xFFFFFFFF).astype(np.uint32)
+    hi = (rc >> np.uint64(32)).astype(np.uint32)
+    import jax.numpy as jnp
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def _permutation_rolled(state: list[GL]) -> list[GL]:
+    """Poseidon2 permutation on a batch of 12 GL arrays.
+
+    Rolled into lax.fori_loops over rounds (constants indexed per round) so
+    the traced graph is ~3 round bodies instead of 30 — fast to compile under
+    jit, identical results to the unrolled reference semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    assert len(state) == STATE_WIDTH
+    rc_lo, rc_hi = _rc_tables()
+    st = gl.stack(state, axis=0)  # (12, ...)
+
+    def full_round(r, st):
+        cs = [GL(rc_lo[r, i], rc_hi[r, i]) for i in range(12)]
+        s = [gl.add(st[i], GL(jnp.broadcast_to(cs[i].lo, st.lo.shape[1:]),
+                              jnp.broadcast_to(cs[i].hi, st.hi.shape[1:])))
+             for i in range(12)]
+        s = [_sbox7(x) for x in s]
+        s = external_mds(s)
+        return gl.stack(s, axis=0)
+
+    def partial_round(r, st):
+        c0 = GL(jnp.broadcast_to(rc_lo[r, 0], st.lo.shape[1:]),
+                jnp.broadcast_to(rc_hi[r, 0], st.hi.shape[1:]))
+        s = [st[i] for i in range(12)]
+        s[0] = _sbox7(gl.add(s[0], c0))
+        s = internal_matrix(s)
+        return gl.stack(s, axis=0)
+
+    st = gl.stack(external_mds([state[i] for i in range(12)]), axis=0)
+    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)
+    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st)
+    st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P, full_round, st)
+    return [st[i] for i in range(12)]
+
+
+def _external_mds_stacked(st: GL) -> GL:
+    """External MDS on stacked state (12, B) keeping ops on whole blocks:
+    view as (3, 4, B); block M4 multiply via the addition chain, then the
+    block-circulant [[2,1,1],[1,2,1],[1,1,2]] combination."""
+    b = st.reshape(3, 4, -1)
+    x0, x1, x2, x3 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    t0 = gl.add(x0, x1)
+    t1 = gl.add(x2, x3)
+    t2 = gl.add(gl.double(x1), t1)
+    t3 = gl.add(gl.double(x3), t0)
+    t4 = gl.add(gl.double(gl.double(t1)), t3)
+    t5 = gl.add(gl.double(gl.double(t0)), t2)
+    t6 = gl.add(t3, t5)
+    t7 = gl.add(t2, t4)
+    blocks = gl.stack([t6, t5, t7, t4], axis=1)  # (3, 4, B)
+    total = gl.add(gl.add(blocks[0], blocks[1]), blocks[2])  # (4, B)
+    # circulant [[2,1,1],[1,2,1],[1,1,2]]: out_i = b_i + (b_0 + b_1 + b_2)
+    out = gl.add(blocks, GL(total.lo[None], total.hi[None]))
+    return out.reshape(12, -1)
+
+
+def _internal_matrix_stacked(st: GL) -> GL:
+    import jax.numpy as jnp
+
+    # log-tree sum along axis 0
+    total = gl.add(gl.add(gl.add(st[0], st[1]), gl.add(st[2], st[3])),
+                   gl.add(gl.add(st[4], st[5]),
+                          gl.add(gl.add(st[6], st[7]),
+                                 gl.add(gl.add(st[8], st[9]),
+                                        gl.add(st[10], st[11])))))
+    import numpy as np
+    shifts = np.asarray([1 << s for s in _DIAG_SHIFTS], np.uint32)
+    scaled = gl.mul(st, GL(jnp.asarray(shifts)[:, None],
+                           jnp.zeros((12, 1), jnp.uint32)))
+    return gl.add(scaled, GL(total.lo[None], total.hi[None]))
+
+
+def _permutation_stacked(st: GL) -> GL:
+    """Rolled, stacked-state permutation: minimal traced graph (~3 small
+    round bodies), sbox vectorized over the whole (12, B) state."""
+    import jax
+    import jax.numpy as jnp
+
+    rc_lo, rc_hi = _rc_tables()
+    rc_lo = rc_lo.T  # (12, 30) for per-round column gather
+    rc_hi = rc_hi.T
+
+    def full_round(r, st):
+        st = gl.add(st, GL(jax.lax.dynamic_slice_in_dim(rc_lo, r, 1, 1),
+                           jax.lax.dynamic_slice_in_dim(rc_hi, r, 1, 1)))
+        st = _sbox7(st)
+        return _external_mds_stacked(st)
+
+    def partial_round(r, st):
+        c = GL(jax.lax.dynamic_slice_in_dim(rc_lo[0], r, 1),
+               jax.lax.dynamic_slice_in_dim(rc_hi[0], r, 1))
+        row0 = _sbox7(gl.add(st[0], c))
+        st = GL(st.lo.at[0].set(row0.lo), st.hi.at[0].set(row0.hi))
+        return _internal_matrix_stacked(st)
+
+    st = _external_mds_stacked(st)
+    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)
+    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st)
+    st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P, full_round, st)
+    return st
+
+
+# fixed-batch jitted permutation: ONE compiled shape serves all callers
+FIXED_BATCH = 8192
+_perm_fixed = None
+
+
+def _get_perm_fixed():
+    global _perm_fixed
+    if _perm_fixed is None:
+        import jax
+        _perm_fixed = jax.jit(_permutation_stacked)
+    return _perm_fixed
+
+
 def permutation_gl(state: GL) -> GL:
-    """Permutation on a stacked GL array of shape (12, ...)."""
-    out = permutation([state[i] for i in range(STATE_WIDTH)])
-    return gl.stack(out, axis=0)
+    """Permutation on stacked GL (12, B): pads/chunks B to the fixed batch so
+    exactly one XLA compilation is ever needed (XLA:CPU compile of wide
+    carry-chain graphs is pathologically slow; fixing the shape sidesteps it
+    and on TPU gives one cached program)."""
+    import jax.numpy as jnp
+
+    b = state.lo.shape[1]
+    perm = _get_perm_fixed()
+    if b == FIXED_BATCH:
+        return perm(state)
+    if b < FIXED_BATCH:
+        pad = FIXED_BATCH - b
+        padded = GL(jnp.pad(state.lo, ((0, 0), (0, pad))),
+                    jnp.pad(state.hi, ((0, 0), (0, pad))))
+        out = perm(padded)
+        return GL(out.lo[:, :b], out.hi[:, :b])
+    outs = []
+    for start in range(0, b, FIXED_BATCH):
+        chunk = GL(state.lo[:, start:start + FIXED_BATCH],
+                   state.hi[:, start:start + FIXED_BATCH])
+        outs.append(permutation_gl(chunk))
+    return GL(jnp.concatenate([o.lo for o in outs], axis=1),
+              jnp.concatenate([o.hi for o in outs], axis=1))
+
+
+def permutation(state: list[GL]) -> list[GL]:
+    """Batched permutation on 12 GL arrays of identical shape."""
+    shape = state[0].shape
+    st = gl.stack(state, axis=0).reshape(12, -1)
+    out = permutation_gl(st)
+    out = out.reshape(12, *shape) if shape else out.reshape(12)
+    return [out[i] for i in range(STATE_WIDTH)]
 
 
 # ----------------------------------------------------------------------------

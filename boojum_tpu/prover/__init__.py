@@ -1,0 +1,4 @@
+"""Prover: the full IOP pipeline (reference src/cs/implementations/prover.rs)."""
+
+from .proof import Proof, ProofConfig, VerificationKey  # noqa: F401
+from .prover import ProvingArtifacts, create_setup_and_vk, prove  # noqa: F401

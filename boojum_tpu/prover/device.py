@@ -1,0 +1,215 @@
+"""Device-side (jnp) building blocks of the prover pipeline.
+
+These are the five hot kernels SURVEY §3.2 identifies (NTT/LDE, Merkle
+hashing, gate sweeps, batch inverses, sponges) expressed as jnp/GL functions:
+
+- column batches live as GL arrays shaped (n, num_polys) — rows on axis 0 so
+  the NTT transforms axis 0 and polys ride the TPU lane dim;
+- LDE output is (lde, n, num_polys) with axis 0 in *bitreversed coset
+  enumeration*, so flattening axes (0, 1) yields the bitreversed enumeration
+  of the full lde·n domain over the coset g·<ω_{lde·n}> — the exact layout
+  the reference stores (GenericLdeStorage) and FRI folding needs;
+- inversion is Fermat (63 squarings, fully lane-parallel) instead of the
+  reference's sequential Montgomery batches — the TPU-idiomatic tradeoff;
+- grand products use `jax.lax.associative_scan` (log-depth) instead of the
+  reference's chunked sequential scans.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import extension as ext2
+from ..field import goldilocks as gl
+from ..field.extension import GL2
+from ..field.goldilocks import GL
+from ..ntt import ntt
+from ..utils import npgl
+
+
+def to_device_cols(cols_u64: np.ndarray) -> GL:
+    """(num_polys, n) host u64 -> GL (n, num_polys) device."""
+    return gl.from_u64(np.ascontiguousarray(cols_u64.T))
+
+
+def from_device(a: GL) -> np.ndarray:
+    return gl.to_u64(a)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_cols_to_monomials(log_n: int):
+    plan = ntt.get_plan(log_n)
+    return jax.jit(lambda cols: ntt.intt_cols(ntt.bitreverse_gl(cols), plan))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_monomials_to_lde(log_n: int, lde_factor: int):
+    return jax.jit(lambda mono: ntt.lde_from_monomials(mono, log_n, lde_factor))
+
+
+def cols_to_monomials(cols: GL) -> GL:
+    """Lagrange values (n, k) on the plain domain -> monomial coeffs (n, k)."""
+    n, _ = cols.shape
+    return _jit_cols_to_monomials(n.bit_length() - 1)(cols)
+
+
+def monomials_to_lde(mono: GL, lde_factor: int) -> GL:
+    """(n, k) monomials -> (lde, n, k) bitreversed coset evals."""
+    n = mono.shape[0]
+    return _jit_monomials_to_lde(n.bit_length() - 1, lde_factor)(mono)
+
+
+def lde_flat(lde: GL) -> GL:
+    """(lde, n, k) -> (lde*n, k) flattened full-domain bitreversed order."""
+    l, n, k = lde.shape
+    return lde.reshape(l * n, k)
+
+
+def leaf_columns(lde: GL) -> GL:
+    """(lde, n, k) -> (k, lde*n) leaf-source layout for the Merkle builder."""
+    flat = lde_flat(lde)
+    return GL(flat.lo.T, flat.hi.T)
+
+
+# ---------------------------------------------------------------------------
+# Extension-field array helpers (GL2 with arbitrary leading shape)
+# ---------------------------------------------------------------------------
+
+
+def ext_const(c, shape=()) -> GL2:
+    """(c0, c1) python ints -> broadcastable GL2."""
+    return GL2(gl.full(shape, c[0]), gl.full(shape, c[1]))
+
+
+def ext_inverse(a: GL2) -> GL2:
+    """Elementwise Fermat-based extension inverse (lane-parallel)."""
+    norm = gl.sub(gl.square(a.c0), gl.mul_by_u32(gl.square(a.c1), ext2.NON_RESIDUE))
+    inv_norm = gl.inverse(norm)
+    return GL2(gl.mul(a.c0, inv_norm), gl.neg(gl.mul(a.c1, inv_norm)))
+
+
+def ext_mul_base(a: GL2, b: GL) -> GL2:
+    return GL2(gl.mul(a.c0, b), gl.mul(a.c1, b))
+
+
+def grand_product_exclusive(ratios: GL2) -> GL2:
+    """z[0] = 1, z[i] = prod_{k<i} ratios[k]  (log-depth associative scan)."""
+    inclusive = jax.lax.associative_scan(ext2.mul, ratios, axis=0)
+    n = ratios.c0.lo.shape[0]
+    one = ext2.ones(())
+
+    def shift(inc, one_val):
+        return jnp.concatenate([one_val[None], inc[:-1]], axis=0)
+
+    return GL2(
+        GL(shift(inclusive.c0.lo, one.c0.lo), shift(inclusive.c0.hi, one.c0.hi)),
+        GL(shift(inclusive.c1.lo, one.c1.lo), shift(inclusive.c1.hi, one.c1.hi)),
+    )
+
+
+def powers_of_ext(z, n: int) -> GL2:
+    """[z^0 .. z^(n-1)] as GL2 (n,) via associative scan on device."""
+    base = ext_const(z, (n,))
+    # replace element 0 with 1, then inclusive scan gives z^0..z^(n-1)
+    one = ext2.ones(())
+
+    def put_first(arr, v):
+        return arr.at[0].set(v)
+
+    seeded = GL2(
+        GL(put_first(base.c0.lo, one.c0.lo), put_first(base.c0.hi, one.c0.hi)),
+        GL(put_first(base.c1.lo, one.c1.lo), put_first(base.c1.hi, one.c1.hi)),
+    )
+    return jax.lax.associative_scan(ext2.mul, seeded, axis=0)
+
+
+def eval_monomials_at_ext(mono: GL, z_pows: GL2) -> list[tuple[int, int]]:
+    """Evaluate base-coeff polys (n, k) at the ext point via Σ c_i·z^i.
+
+    Returns host list of (c0, c1) ints, one per poly."""
+    c0 = gl.mul(GL(z_pows.c0.lo[:, None], z_pows.c0.hi[:, None]), mono)
+    c1 = gl.mul(GL(z_pows.c1.lo[:, None], z_pows.c1.hi[:, None]), mono)
+    s0 = _sum_gl(c0, axis=0)
+    s1 = _sum_gl(c1, axis=0)
+    r0 = gl.to_u64(s0)
+    r1 = gl.to_u64(s1)
+    return [(int(a), int(b)) for a, b in zip(r0, r1)]
+
+
+def _sum_gl(a: GL, axis: int) -> GL:
+    """Modular sum along an axis via log-tree of gl.add."""
+    n = a.shape[axis]
+    while n > 1:
+        half = n // 2
+        lo_idx = [slice(None)] * a.ndim
+        hi_idx = [slice(None)] * a.ndim
+        lo_idx[axis] = slice(0, half)
+        hi_idx[axis] = slice(half, 2 * half)
+        rem_idx = [slice(None)] * a.ndim
+        rem_idx[axis] = slice(2 * half, n)
+        s = gl.add(a[tuple(lo_idx)], a[tuple(hi_idx)])
+        if n % 2 == 1:
+            rem = a[tuple(rem_idx)]
+            pad_idx = [slice(None)] * a.ndim
+            pad_idx[axis] = slice(0, 1)
+            s = GL(
+                jnp.concatenate([s.lo, rem.lo], axis=axis),
+                jnp.concatenate([s.hi, rem.hi], axis=axis),
+            )
+            n = half + 1
+        else:
+            n = half
+        a = s
+    sq = [slice(None)] * a.ndim
+    sq[axis] = 0
+    return a[tuple(sq)]
+
+
+def sum_ext(a: GL2, axis: int = 0) -> GL2:
+    return GL2(_sum_gl(a.c0, axis), _sum_gl(a.c1, axis))
+
+
+# ---------------------------------------------------------------------------
+# Domain constants
+# ---------------------------------------------------------------------------
+
+
+def x_poly_lde_host(n: int, lde_factor: int) -> np.ndarray:
+    """Values of the identity poly X over the LDE cosets, host u64,
+    shape (lde, n) in the standard bitreversed layout."""
+    log_n = n.bit_length() - 1
+    omega = gl.domain_generator(log_n)
+    rev = ntt.bitreverse_indices(log_n)
+    base = npgl.powers(omega, n)[rev]  # ω^bitrev(i)
+    cosets = ntt.lde_cosets(log_n, lde_factor)
+    out = np.empty((lde_factor, n), np.uint64)
+    for k, c in enumerate(cosets):
+        out[k] = npgl.mul_scalar(base, c)
+    return out
+
+
+def vanishing_inverse_per_coset(n: int, lde_factor: int) -> np.ndarray:
+    """(X^n - 1)^{-1} is constant per LDE coset; (lde,) host u64."""
+    cosets = ntt.lde_cosets(n.bit_length() - 1, lde_factor)
+    out = np.empty(lde_factor, np.uint64)
+    for k, c in enumerate(cosets):
+        v = (pow(c, n, npgl.ORDER) - 1) % npgl.ORDER
+        out[k] = pow(v, npgl.ORDER - 2, npgl.ORDER)
+    return out
+
+
+def unnormalized_l1_lde_host(n: int, lde_factor: int) -> np.ndarray:
+    """(X^n - 1)/(X - 1) over the LDE cosets, (lde, n) host u64
+    (reference prover.rs unnormalized_l1_inverse)."""
+    x = x_poly_lde_host(n, lde_factor)
+    num = np.empty_like(x)
+    cosets = ntt.lde_cosets(n.bit_length() - 1, lde_factor)
+    for k, c in enumerate(cosets):
+        num[k] = (pow(c, n, npgl.ORDER) - 1) % npgl.ORDER
+    den = npgl.sub(x, np.uint64(1))
+    return npgl.mul(num, npgl.batch_inv(den))

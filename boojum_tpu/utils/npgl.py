@@ -116,20 +116,9 @@ def inv(a):
 
 
 def batch_inv(a):
-    """Montgomery batch inverse over the flattened array (nonzero input)."""
-    flat = np.asarray(a, np.uint64).reshape(-1)
-    n = flat.shape[0]
-    prefix = np.empty(n, np.uint64)
-    acc = np.uint64(1)
-    for i in range(n):
-        prefix[i] = acc
-        acc = mul(acc, flat[i])
-    acc_inv = np.uint64(pow(int(acc), ORDER - 2, ORDER))
-    out = np.empty(n, np.uint64)
-    for i in range(n - 1, -1, -1):
-        out[i] = mul(acc_inv, prefix[i])
-        acc_inv = mul(acc_inv, flat[i])
-    return out.reshape(np.asarray(a).shape)
+    """Bulk inversion. Vectorized Fermat (≈128 whole-array passes) beats a
+    sequential Montgomery chain in numpy; 0 maps to 0."""
+    return inv(a)
 
 
 def powers(base: int, count: int):

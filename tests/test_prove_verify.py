@@ -1,0 +1,147 @@
+"""End-to-end prove → verify tests on small circuits.
+
+Mirrors the reference's CS-level integration tests
+(src/cs/implementations/cs.rs:1049-1692): build a small circuit with the dev
+config, check satisfiability, create setup + VK, prove, verify, and check
+that corrupted proofs fail.
+"""
+
+import numpy as np
+import pytest
+
+from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters, LookupTable
+from boojum_tpu.cs.gates import (
+    BooleanConstraintGate, ConstantsAllocatorGate, FmaGate, NopGate,
+    PublicInputGate, ReductionGate, SelectionGate,
+)
+from boojum_tpu.cs.setup import create_base_setup
+from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
+from boojum_tpu.verifier import verify
+from boojum_tpu.utils import npgl
+
+P = npgl.ORDER
+RNG = np.random.default_rng(11)
+
+GEOM = CSGeometry(num_columns_under_copy_permutation=16, num_witness_columns=0,
+                  num_constant_columns=4, max_allowed_constraint_degree=4)
+
+
+def build_small_circuit(with_lookup=False, with_public=True, n_fma=30):
+    lookup = LookupParameters.specialized_with_table_id_as_constant(
+        width=3, num_repetitions=2, share_table_id=True) if with_lookup else None
+    cs = ConstraintSystem(GEOM, 1 << 10, CSConfig.dev())
+    if lookup:
+        cs.allow_lookup(lookup)
+    cs.allow_gate(ConstantsAllocatorGate)
+    cs.allow_gate(FmaGate)
+    cs.allow_gate(ReductionGate, params=4)
+    cs.allow_gate(BooleanConstraintGate)
+    cs.allow_gate(SelectionGate)
+    cs.allow_gate(PublicInputGate)
+    cs.allow_gate(NopGate)
+
+    if lookup:
+        rows = [(a, b, a ^ b) for a in range(8) for b in range(8)]
+        table = LookupTable("xor3", np.asarray(rows, np.uint64), num_keys=2)
+        tid = cs.add_lookup_table(table)
+
+    a = cs.alloc_variables_with_values(RNG.integers(0, P, n_fma, dtype=np.uint64))
+    b = cs.alloc_variables_with_values(RNG.integers(0, P, n_fma, dtype=np.uint64))
+    c = cs.alloc_variables_with_values(RNG.integers(0, P, n_fma, dtype=np.uint64))
+    d = FmaGate.compute_fma_batch(cs, 3, (a, b), 5, c)
+    e = ReductionGate.reduce_terms_batch(
+        cs, [1, 2, 3, 4], np.stack([a[:8], b[:8], c[:8], d[:8]]))
+    k = ConstantsAllocatorGate.allocate_constant(cs, 1234)
+    bits = BooleanConstraintGate.allocate_batch(cs, [1, 0, 1, 1])
+    sel = SelectionGate.select_batch(cs, a[:4], b[:4], bits)
+
+    if lookup:
+        la = cs.alloc_variables_with_values([1, 2, 3, 7, 5])
+        lb = cs.alloc_variables_with_values([6, 2, 1, 7, 0])
+        lo = cs.alloc_variables_with_values([1 ^ 6, 0, 3 ^ 1, 0, 5])
+        cs.enforce_lookup_batch(tid, np.stack([la, lb, lo]))
+
+    if with_public:
+        PublicInputGate.place(cs, int(d[0]))
+        PublicInputGate.place(cs, int(e[0]))
+
+    cs.pad_and_shrink()
+    return cs
+
+
+def run_roundtrip(cs, transcript_kind="poseidon2", hasher="poseidon2",
+                  fri_lde=8, pow_bits=0):
+    assert cs.check_if_satisfied()
+    setup_base = create_base_setup(cs)
+    cfg = ProofConfig(fri_lde_factor=fri_lde, merkle_tree_cap_size=4,
+                      security_level=100, pow_bits=pow_bits)
+    artifacts = create_setup_and_vk(cs, setup_base, cfg, hasher)
+    proof = prove(cs, artifacts, cfg, transcript_kind, hasher)
+    ok = verify(artifacts.vk, proof, transcript_kind, hasher)
+    return proof, artifacts, ok
+
+
+def test_prove_verify_no_lookup():
+    cs = build_small_circuit(with_lookup=False)
+    proof, artifacts, ok = run_roundtrip(cs)
+    assert ok
+
+
+def test_prove_verify_with_lookup():
+    cs = build_small_circuit(with_lookup=True)
+    proof, artifacts, ok = run_roundtrip(cs)
+    assert ok
+
+
+def test_prove_verify_blake2s():
+    cs = build_small_circuit(with_lookup=True)
+    proof, artifacts, ok = run_roundtrip(
+        cs, transcript_kind="blake2s", hasher="blake2s")
+    assert ok
+
+
+def test_prove_verify_with_pow():
+    cs = build_small_circuit(with_lookup=False, n_fma=5)
+    proof, artifacts, ok = run_roundtrip(cs, pow_bits=8)
+    assert ok
+    assert proof.pow_challenge != 0 or True  # nonce may be 0 legitimately
+
+
+def test_corrupted_proof_fails():
+    cs = build_small_circuit(with_lookup=True)
+    proof, artifacts, ok = run_roundtrip(cs)
+    assert ok
+    import copy
+    # corrupt a claimed evaluation
+    p2 = copy.deepcopy(proof)
+    v = list(p2.values_at_z[3])
+    v[0] = (v[0] + 1) % P
+    p2.values_at_z[3] = tuple(v)
+    assert not verify(artifacts.vk, p2, "poseidon2", "poseidon2")
+    # corrupt a query leaf
+    p3 = copy.deepcopy(proof)
+    p3.queries_per_fri_repetition[0].witness_query.leaf_elements[0] ^= 1
+    assert not verify(artifacts.vk, p3, "poseidon2", "poseidon2")
+    # corrupt public input
+    p4 = copy.deepcopy(proof)
+    if p4.public_inputs:
+        p4.public_inputs[0] = (p4.public_inputs[0] + 1) % P
+        assert not verify(artifacts.vk, p4, "poseidon2", "poseidon2")
+    # corrupt final FRI monomials
+    p5 = copy.deepcopy(proof)
+    m0 = list(p5.final_fri_monomials[0])
+    m0[0] = (m0[0] + 1) % P
+    p5.final_fri_monomials = (m0, p5.final_fri_monomials[1])
+    assert not verify(artifacts.vk, p5, "poseidon2", "poseidon2")
+
+
+def test_unsatisfied_circuit_asserts():
+    cs = build_small_circuit(with_lookup=False, n_fma=5)
+    # corrupt witness after synthesis
+    cs.resolver.values[10] = (int(cs.resolver.values[10]) + 1) % P
+    assert not cs.check_if_satisfied(verbose=False)
+    setup_base = create_base_setup(cs)
+    cfg = ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=4)
+    artifacts = create_setup_and_vk(cs, setup_base, cfg, "poseidon2")
+    with pytest.raises(AssertionError):
+        prove(cs, artifacts, cfg, "poseidon2", "poseidon2")
