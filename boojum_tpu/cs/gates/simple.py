@@ -175,6 +175,18 @@ class FmaGate:
         return d
 
     @staticmethod
+    def enforce_fma_batch(cs, coeff_quad: int, ab, coeff_lin: int, c, d):
+        """Place the relation c0·a·b + c1·c == d over EXISTING variables
+        (no witness generation — reference gate.add_to_cs with rhs_part)."""
+        a, b = (np.asarray(x, np.uint64).reshape(-1) for x in ab)
+        c = np.asarray(c, np.uint64).reshape(-1)
+        d = np.asarray(d, np.uint64).reshape(-1)
+        c0 = coeff_quad % npgl.ORDER
+        c1 = coeff_lin % npgl.ORDER
+        cs.place_general_gate_batch("fma", (c0, c1), [c0, c1],
+                                    np.stack([a, b, c, d], axis=1))
+
+    @staticmethod
     def compute_fma(cs, coeff_quad: int, ab, coeff_lin: int, c) -> int:
         out = FmaGate.compute_fma_batch(
             cs, coeff_quad,

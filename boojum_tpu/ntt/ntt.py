@@ -90,13 +90,21 @@ class NttPlan:
         self.n_inv = gl.s_inv(n)
         fwd_full = _powers_u64(omega, max(n // 2, 1))
         inv_full = _powers_u64(omega_inv, max(n // 2, 1))
-        # stage k uses ω^{j·2^k} for j < n >> (k+1)
-        self.fwd_twiddles = []
-        self.inv_twiddles = []
+        # stage k uses ω^{j·2^k} for j < n >> (k+1). Tables are HOST numpy:
+        # lifting to device happens per use, so a plan cached from inside one
+        # jax trace never leaks tracers into another (shard_map re-traces).
+        self.fwd_twiddles_host = []
+        self.inv_twiddles_host = []
         for k in range(log_n):
             half = n >> (k + 1)
-            self.fwd_twiddles.append(gl.from_u64(fwd_full[:: 1 << k][:half]))
-            self.inv_twiddles.append(gl.from_u64(inv_full[:: 1 << k][:half]))
+            self.fwd_twiddles_host.append(np.ascontiguousarray(fwd_full[:: 1 << k][:half]))
+            self.inv_twiddles_host.append(np.ascontiguousarray(inv_full[:: 1 << k][:half]))
+
+    def fwd_twiddle(self, k: int) -> GL:
+        return gl.from_u64(self.fwd_twiddles_host[k])
+
+    def inv_twiddle(self, k: int) -> GL:
+        return gl.from_u64(self.inv_twiddles_host[k])
 
 
 @functools.lru_cache(maxsize=None)
@@ -130,7 +138,7 @@ def ntt_cols(x: GL, plan: NttPlan) -> GL:
     n, batch = x.shape
     assert n == plan.n
     for k in range(plan.log_n):
-        x = _butterfly_fwd(x, plan.fwd_twiddles[k], k, n, batch)
+        x = _butterfly_fwd(x, plan.fwd_twiddle(k), k, n, batch)
     return x
 
 
@@ -139,7 +147,7 @@ def intt_cols(y: GL, plan: NttPlan) -> GL:
     n, batch = y.shape
     assert n == plan.n
     for k in reversed(range(plan.log_n)):
-        y = _butterfly_inv(y, plan.inv_twiddles[k], k, n, batch)
+        y = _butterfly_inv(y, plan.inv_twiddle(k), k, n, batch)
     n_inv = gl.full((1, 1), plan.n_inv)
     return gl.mul(y, gl.broadcast_to(n_inv, (n, batch)))
 

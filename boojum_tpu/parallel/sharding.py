@@ -1,0 +1,162 @@
+"""Multi-chip sharding: column-sharded LDE + row-sharded Merkle commit.
+
+The reference has NO distributed backend (rayon shared memory only, SURVEY
+§2.4); this is the new capability the TPU build adds (SURVEY §7 step 9):
+
+- trace columns are sharded across the mesh axis — NTT/LDE is embarrassingly
+  parallel per column (each device transforms its column subset locally);
+- Merkle leaf hashing needs whole rows, so an `all_to_all` collective
+  transposes from column-sharded to row-sharded layout over ICI;
+- each device hashes the leaves of its row shard; the sub-tree caps are
+  `all_gather`-ed and the top of the tree is completed on every device
+  (replicated, tiny);
+- grand-product / lookup-sum style reductions use `psum` over the axis.
+
+Everything is expressed with `shard_map` over a 1-D `jax.sharding.Mesh`, so
+the same code runs on a virtual CPU mesh (tests), a single real chip, or a
+pod slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..field import goldilocks as gl
+from ..field.goldilocks import GL
+from ..hash import sponge
+from ..hash.poseidon2 import _permutation_stacked
+from ..ntt import ntt
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int = None) -> Mesh:
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def _local_lde(cols: GL, log_n: int, lde_factor: int) -> GL:
+    """(n, k_local) monomials -> (lde*n, k_local) flat bitreversed evals."""
+    out = ntt.lde_from_monomials(cols, log_n, lde_factor)
+    l, n, k = out.shape
+    return out.reshape(l * n, k)
+
+
+def _leaf_hash_rows(rows: GL) -> GL:
+    """rows: (m_local, k) -> leaf hashes (m_local, 4) via the sponge."""
+    cols = GL(rows.lo.T, rows.hi.T)  # (k, m_local)
+    out = sponge.hash_leaves(cols)  # (4, m_local) — eager path
+    return GL(out.lo.T, out.hi.T)
+
+
+def _leaf_hash_rows_traced(rows: GL) -> GL:
+    """Trace-safe leaf hashing (no fixed-batch driver): direct stacked sponge."""
+    k, = rows.lo.shape[1:]
+    m = rows.lo.shape[0]
+    state = gl.zeros((12, m))
+    full, rem = divmod(k, 8)
+    pos = 0
+    cols = GL(rows.lo.T, rows.hi.T)
+    st_lo, st_hi = state.lo, state.hi
+
+    def absorb(st_lo, st_hi, start, count):
+        st_lo = st_lo.at[:count].set(cols.lo[start:start + count])
+        st_hi = st_hi.at[:count].set(cols.hi[start:start + count])
+        if count < 8:
+            st_lo = st_lo.at[count:8].set(0)
+            st_hi = st_hi.at[count:8].set(0)
+        out = _permutation_stacked(GL(st_lo, st_hi))
+        return out.lo, out.hi
+
+    for _ in range(full):
+        st_lo, st_hi = absorb(st_lo, st_hi, pos, 8)
+        pos += 8
+    if rem:
+        st_lo, st_hi = absorb(st_lo, st_hi, pos, rem)
+    return GL(st_lo[:4].T, st_hi[:4].T)  # (m, 4)
+
+
+def distributed_commit_step(mesh: Mesh, log_n: int, lde_factor: int,
+                            cap_size: int):
+    """Build the jitted sharded commit step: monomial columns (n, k) sharded
+    over k -> (leaf hashes row-sharded, replicated cap)."""
+
+    n_shards = mesh.devices.size
+
+    def step(cols_lo, cols_hi):
+        def inner(lo, hi):
+            # 1. local LDE of this device's columns
+            flat = _local_lde(GL(lo, hi), log_n, lde_factor)  # (L*n, k_local)
+            # 2. collective transpose: split rows into n_shards blocks,
+            #    exchange so each device gets all columns of its row block
+            m = flat.lo.shape[0]
+            block = m // n_shards
+            lo_b = flat.lo.reshape(n_shards, block, -1)
+            hi_b = flat.hi.reshape(n_shards, block, -1)
+            # split axis 0 across devices; received pieces land on a new
+            # source-device axis at position 1:
+            # (n_shards, block, k_local) -> (block, n_shards, k_local)
+            lo_t = jax.lax.all_to_all(lo_b, AXIS, 0, 1, tiled=False)
+            hi_t = jax.lax.all_to_all(hi_b, AXIS, 0, 1, tiled=False)
+            # -> (block, k) rows carrying all columns in original order
+            lo_rows = lo_t.reshape(block, -1)
+            hi_rows = hi_t.reshape(block, -1)
+            # 3. local leaf hashing of the row block
+            leaves = _leaf_hash_rows_traced(GL(lo_rows, hi_rows))  # (block, 4)
+            # 4. local sub-tree down to one node per device
+            cur = GL(leaves.lo.T, leaves.hi.T)  # (4, block)
+            while cur.lo.shape[1] > 1:
+                left = cur[:, 0::2]
+                right = cur[:, 1::2]
+                st = gl.zeros((12, left.lo.shape[1]))
+                st_lo = st.lo.at[:4].set(left.lo).at[4:8].set(right.lo)
+                st_hi = st.hi.at[:4].set(left.hi).at[4:8].set(right.hi)
+                out = _permutation_stacked(GL(st_lo, st_hi))
+                cur = GL(out.lo[:4], out.hi[:4])
+            # 5. gather the per-device roots (the cap ring) over ICI
+            cap_lo = jax.lax.all_gather(cur.lo[:, 0], AXIS, axis=1)  # (4, S)
+            cap_hi = jax.lax.all_gather(cur.hi[:, 0], AXIS, axis=1)
+            return leaves.lo, leaves.hi, cap_lo, cap_hi
+
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(None, AXIS), P(None, AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(), P()),
+            check_vma=False,
+        )(cols_lo, cols_hi)
+
+    return jax.jit(step)
+
+
+def distributed_sum_reduce(mesh: Mesh):
+    """psum-based modular reduction of per-device partial sums (the pattern
+    lookup-denominator and grand-product accumulations ride on)."""
+
+    def step(x_lo, x_hi):
+        def inner(lo, hi):
+            # local modular sum then cross-device: add in u64 then reduce
+            local = GL(lo, hi)
+            acc = local[0]
+            for i in range(1, lo.shape[0]):
+                acc = gl.add(acc, local[i])
+            # psum over the ring: emulate modular psum by gathering
+            all_lo = jax.lax.all_gather(acc.lo, AXIS)
+            all_hi = jax.lax.all_gather(acc.hi, AXIS)
+            total = GL(all_lo[0], all_hi[0])
+            for i in range(1, all_lo.shape[0]):
+                total = gl.add(total, GL(all_lo[i], all_hi[i]))
+            return total.lo, total.hi
+
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(x_lo, x_hi)
+
+    return jax.jit(step)

@@ -23,10 +23,19 @@ _U32 = np.uint64(32)
 ORDER = 0xFFFF_FFFF_0000_0001
 
 
+def _tiny(a, b):
+    """Fast exact-int path for size-1 operands (gadget scalar calls dominate
+    synthesis; numpy dispatch on 1-element arrays costs ~30µs vs ~1µs)."""
+    return a.size == 1 and b.size == 1
+
+
 def add(a, b):
     """(a + b) mod p for canonical a, b."""
     a = np.asarray(a, np.uint64)
     b = np.asarray(b, np.uint64)
+    if _tiny(a, b):
+        v = (int(a.reshape(-1)[0]) + int(b.reshape(-1)[0])) % ORDER
+        return np.full(a.shape if a.ndim >= b.ndim else b.shape, v, np.uint64)
     s = a + b
     wrapped = s < a  # overflow past 2^64: add EPSILON
     s = np.where(wrapped, s + EPSILON, s)
@@ -38,6 +47,9 @@ def add(a, b):
 def sub(a, b):
     a = np.asarray(a, np.uint64)
     b = np.asarray(b, np.uint64)
+    if _tiny(a, b):
+        v = (int(a.reshape(-1)[0]) - int(b.reshape(-1)[0])) % ORDER
+        return np.full(a.shape if a.ndim >= b.ndim else b.shape, v, np.uint64)
     d = a - b
     borrow = a < b
     # wrapped: d = a - b + 2^64 ≡ a - b + EPSILON (mod p)
@@ -88,6 +100,9 @@ def _reduce128(hi, lo):
 def mul(a, b):
     a = np.asarray(a, np.uint64)
     b = np.asarray(b, np.uint64)
+    if _tiny(a, b):
+        v = (int(a.reshape(-1)[0]) * int(b.reshape(-1)[0])) % ORDER
+        return np.full(a.shape if a.ndim >= b.ndim else b.shape, v, np.uint64)
     hi, lo = _mul_wide(a, b)
     return _reduce128(hi, lo)
 
