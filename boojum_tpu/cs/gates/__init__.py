@@ -1,5 +1,12 @@
 """Gate library (reference src/cs/gates/, 29 files — built out over rounds)."""
 
+from .arith import (  # noqa: F401
+    FmaGateInExtension,
+    MatrixMultiplicationGate,
+    U32AddGate,
+    U32SubGate,
+    UIntXAddGate,
+)
 from .base import Ext2Ops, GateEvaluator, GLOps, NpOps, TraceView  # noqa: F401
 from .simple import (  # noqa: F401
     BooleanConstraintGate,

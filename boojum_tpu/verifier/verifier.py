@@ -36,6 +36,7 @@ E_ONE = (1, 0)
 
 
 def _registry():
+    from ..cs.gates import arith as ga
     from ..cs.gates import simple as g
     return {
         "nop": lambda n: g.NopEvaluator(),
@@ -51,6 +52,10 @@ def _registry():
         "dot_product": g.DotProductEvaluator,
         "quadratic_combination": g.QuadraticCombinationEvaluator,
         "reduction_by_powers": g.ReductionByPowersEvaluator,
+        "u32_add": lambda n: ga.U32AddEvaluator(),
+        "u32_sub": lambda n: ga.U32SubEvaluator(),
+        "uintx_add": ga.UIntXAddEvaluator,
+        "fma_ext": lambda n: ga.FmaExtEvaluator(),
     }
 
 

@@ -175,3 +175,61 @@ def test_resolver_playback():
     d = FmaGate.compute_fma_batch(cs, 7, (a, b), 0, c)
     replayed = cs.resolver.playback(cs.resolver.record)
     assert np.array_equal(replayed.get_values(d), cs.get_values(d))
+
+
+def test_u32_gates_prove_verify():
+    from boojum_tpu.cs.gates import U32AddGate, U32SubGate
+    from boojum_tpu.cs.setup import create_base_setup
+    from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
+    from boojum_tpu.verifier import verify
+
+    cs = make_cs(max_trace=256)
+    cs.allow_gate(U32AddGate)
+    cs.allow_gate(U32SubGate)
+    a_vals = RNG.integers(0, 1 << 32, 20, dtype=np.uint64)
+    b_vals = RNG.integers(0, 1 << 32, 20, dtype=np.uint64)
+    a = cs.alloc_variables_with_values(a_vals)
+    b = cs.alloc_variables_with_values(b_vals)
+    c, cout = U32AddGate.add_batch(cs, a, b)
+    for i in range(20):
+        s = int(a_vals[i]) + int(b_vals[i])
+        assert int(cs.get_value(int(c[i]))) == s & 0xFFFFFFFF
+        assert int(cs.get_value(int(cout[i]))) == s >> 32
+    d, bout = U32SubGate.sub_batch(cs, a, b)
+    for i in range(20):
+        s = int(a_vals[i]) - int(b_vals[i])
+        assert int(cs.get_value(int(d[i]))) == s % (1 << 32)
+        assert int(cs.get_value(int(bout[i]))) == (1 if s < 0 else 0)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+    setup_base = create_base_setup(cs)
+    cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4)
+    artifacts = create_setup_and_vk(cs, setup_base, cfg, "poseidon2")
+    proof = prove(cs, artifacts, cfg, "poseidon2", "poseidon2")
+    assert verify(artifacts.vk, proof, "poseidon2", "poseidon2")
+
+
+def test_fma_ext_gate():
+    from boojum_tpu.cs.gates import FmaGateInExtension
+    from boojum_tpu.field import extension as ext2
+
+    cs = make_cs(max_trace=128)
+    cs.allow_gate(FmaGateInExtension)
+    a = (RNG.integers(0, P, 5, dtype=np.uint64), RNG.integers(0, P, 5, dtype=np.uint64))
+    b = (RNG.integers(0, P, 5, dtype=np.uint64), RNG.integers(0, P, 5, dtype=np.uint64))
+    c = (RNG.integers(0, P, 5, dtype=np.uint64), RNG.integers(0, P, 5, dtype=np.uint64))
+    av = (cs.alloc_variables_with_values(a[0]), cs.alloc_variables_with_values(a[1]))
+    bv = (cs.alloc_variables_with_values(b[0]), cs.alloc_variables_with_values(b[1]))
+    cv = (cs.alloc_variables_with_values(c[0]), cs.alloc_variables_with_values(c[1]))
+    q = (3, 5)
+    l = (7, 11)
+    d0, d1 = FmaGateInExtension.compute_fma_ext_batch(cs, q, (av, bv), l, cv)
+    for i in range(5):
+        ai = (int(a[0][i]), int(a[1][i]))
+        bi = (int(b[0][i]), int(b[1][i]))
+        ci = (int(c[0][i]), int(c[1][i]))
+        want = ext2.s2_add(ext2.s2_mul(ext2.s2_mul(q, ai), bi), ext2.s2_mul(l, ci))
+        got = (int(cs.get_value(int(d0[i]))), int(cs.get_value(int(d1[i]))))
+        assert got == want, i
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()

@@ -1,0 +1,47 @@
+"""Keccak-256 circuit gadget vs the host keccak implementation."""
+
+import numpy as np
+
+from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters
+from boojum_tpu.cs.gates import ConstantsAllocatorGate, FmaGate, NopGate, ReductionGate
+from boojum_tpu.gadgets import keccak256 as kk_mod
+from boojum_tpu.gadgets import sha256 as sha_mod
+from boojum_tpu.gadgets.uints import allocate_u8_checked_batch
+from boojum_tpu.hash.keccak import keccak256 as keccak256_host
+
+RNG = np.random.default_rng(13)
+
+GEOMETRY = CSGeometry(60, 0, 4, 4)
+LOOKUP = LookupParameters.specialized_with_table_id_as_constant(
+    width=4, num_repetitions=8, share_table_id=True)
+
+
+def build(data: bytes, max_trace=1 << 16):
+    cs = ConstraintSystem(GEOMETRY, max_trace, CSConfig.dev())
+    cs.allow_lookup(LOOKUP)
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate):
+        cs.allow_gate(g)
+    cs.allow_gate(ReductionGate, params=4)
+    tids = sha_mod.add_sha256_tables(cs)
+    in_vars = allocate_u8_checked_batch(
+        cs, np.frombuffer(data, np.uint8).astype(np.uint64), tids)
+    out = kk_mod.keccak256(cs, in_vars, tids)
+    return cs, out
+
+
+def test_keccak256_one_permutation():
+    data = bytes(RNG.integers(0, 256, 50, dtype=np.uint8))
+    cs, out = build(data)
+    digest = bytes(int(cs.get_value(int(v))) for v in out)
+    assert digest == keccak256_host(data)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_keccak256_two_permutations():
+    data = bytes(RNG.integers(0, 256, 200, dtype=np.uint8))
+    cs, out = build(data)
+    digest = bytes(int(cs.get_value(int(v))) for v in out)
+    assert digest == keccak256_host(data)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
