@@ -202,6 +202,20 @@ class ConstraintSystem:
             gate_cls.init_tools(self)
         return self
 
+    def allow_evaluator(self, ev, placement: str = "general"):
+        """Register a prebuilt evaluator instance (parametrized gates)."""
+        if ev.name in self.placement_strategy:
+            return self
+        self.placement_strategy[ev.name] = placement
+        if placement == "general":
+            self.general_idx_by_name[ev.name] = len(self.evaluators_general)
+            self.evaluators_general.append(ev)
+        else:
+            self.specialized_idx_by_name[ev.name] = len(self.evaluators_specialized)
+            self.evaluators_specialized.append(ev)
+        self.tooling[ev.name] = {}
+        return self
+
     def gate_is_allowed(self, name: str) -> bool:
         return name in self.placement_strategy
 

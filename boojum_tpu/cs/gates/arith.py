@@ -119,6 +119,9 @@ class UIntXAddEvaluator(GateEvaluator):
         self.width = width
         self.name = f"uintx_add_{width}"
 
+    def spec_params(self):
+        return self.width
+
     def evaluate(self, src, ops):
         a, b, cin, c, cout = (src.var(i) for i in range(5))
         shift = src.const(0)
@@ -147,6 +150,9 @@ class MatrixMulEvaluator(GateEvaluator):
         self.name = f"matrix_mul_{n}"
         self.num_variables = 2 * n
         self.num_quotient_terms = n
+
+    def spec_params(self):
+        return (self.n, self.matrix)
 
     def evaluate(self, src, ops):
         out = []

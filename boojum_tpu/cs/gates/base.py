@@ -176,3 +176,8 @@ class GateEvaluator:
     # identity for registries / setup serialization
     def key(self):
         return self.name
+
+    def spec_params(self):
+        """Parameters sufficient to rebuild this evaluator from the VK
+        (paired with `name` in evaluator_specs)."""
+        return getattr(self, "n", None)

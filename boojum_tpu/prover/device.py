@@ -41,6 +41,10 @@ def from_device(a: GL) -> np.ndarray:
 import functools
 
 
+COL_BLOCK = 64  # fixed column-block width: ONE compiled NTT/LDE program per
+# (log_n, lde) regardless of how many polys an oracle holds
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_cols_to_monomials(log_n: int):
     plan = ntt.get_plan(log_n)
@@ -52,16 +56,34 @@ def _jit_monomials_to_lde(log_n: int, lde_factor: int):
     return jax.jit(lambda mono: ntt.lde_from_monomials(mono, log_n, lde_factor))
 
 
+def _blocked(fn, x: GL, out_axis_offset: int = 0) -> GL:
+    """Apply fn over fixed-width column blocks of (n, k), padding the last."""
+    n, k = x.shape
+    outs = []
+    for start in range(0, k, COL_BLOCK):
+        blk_lo = x.lo[:, start:start + COL_BLOCK]
+        blk_hi = x.hi[:, start:start + COL_BLOCK]
+        pad = COL_BLOCK - blk_lo.shape[1]
+        if pad:
+            blk_lo = jnp.pad(blk_lo, ((0, 0), (0, pad)))
+            blk_hi = jnp.pad(blk_hi, ((0, 0), (0, pad)))
+        outs.append(fn(GL(blk_lo, blk_hi)))
+    axis = outs[0].lo.ndim - 1
+    lo = jnp.concatenate([o.lo for o in outs], axis=axis)[..., :k]
+    hi = jnp.concatenate([o.hi for o in outs], axis=axis)[..., :k]
+    return GL(lo, hi)
+
+
 def cols_to_monomials(cols: GL) -> GL:
     """Lagrange values (n, k) on the plain domain -> monomial coeffs (n, k)."""
     n, _ = cols.shape
-    return _jit_cols_to_monomials(n.bit_length() - 1)(cols)
+    return _blocked(_jit_cols_to_monomials(n.bit_length() - 1), cols)
 
 
 def monomials_to_lde(mono: GL, lde_factor: int) -> GL:
     """(n, k) monomials -> (lde, n, k) bitreversed coset evals."""
     n = mono.shape[0]
-    return _jit_monomials_to_lde(n.bit_length() - 1, lde_factor)(mono)
+    return _blocked(_jit_monomials_to_lde(n.bit_length() - 1, lde_factor), mono)
 
 
 def lde_flat(lde: GL) -> GL:

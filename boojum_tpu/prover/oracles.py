@@ -54,6 +54,7 @@ class CommittedOracle:
         self.tree_lde = tree_lde or lde_factor
         assert self.tree_lde <= lde_factor
         self.monomials = monomials
+        self.monomials_host = device.from_device(monomials)  # (n, k)
         self.lde = device.monomials_to_lde(monomials, lde_factor)
         self.lde_host = np.stack(
             [device.from_device(self.lde[i]) for i in range(lde_factor)])

@@ -138,7 +138,7 @@ def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
     oracle = CommittedOracle(cols, lde, proof_config.merkle_tree_cap_size, hasher,
                              tree_lde=proof_config.fri_lde_factor)
 
-    evaluator_specs = [(ev.name, getattr(ev, "n", None))
+    evaluator_specs = [(ev.name, ev.spec_params())
                        for ev in cs.evaluators_general]
     fixed = VerificationKeyCircuitGeometry(
         geometry=cs.geometry,
@@ -169,7 +169,18 @@ def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
 
 def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
           proof_config: ProofConfig, transcript_kind: str = "poseidon2",
-          hasher: str = "poseidon2") -> Proof:
+          hasher: str = "poseidon2", verbose: bool = False) -> Proof:
+    import sys as _sys
+    import time as _time
+    _t = [_time.time()]
+
+    def _stage(label):
+        if verbose:
+            now = _time.time()
+            print("[prove] %-28s %.2fs" % (label, now - _t[0]),
+                  file=_sys.stderr, flush=True)
+            _t[0] = now
+
     setup_base = artifacts.setup_base
     setup_oracle = artifacts.setup_oracle
     vk = artifacts.vk
@@ -194,6 +205,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     public_input_values = [v for (_, _, v) in public_inputs_with_values]
     transcript.witness_field_elements(public_input_values)
 
+    _stage("stage0: publics+witness cols")
     # -- stage 1: witness oracle ------------------------------------------
     witness_src = np.concatenate([variables_cols, witness_cols, mult_cols], axis=0)
     witness_oracle = CommittedOracle(witness_src, used_lde, cap_size, hasher,
@@ -208,6 +220,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     num_table_polys = setup_base.lookup_tables_columns.shape[0]
     assert num_sigma_polys == num_var_polys
 
+    _stage("stage1: witness oracle")
     # -- stage 2: copy permutation z + partial products --------------------
     beta = _s2(tuple(transcript.get_multiple_challenges(2)))
     gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
@@ -236,9 +249,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     ratio = chunk_ratios[0]
     for r in chunk_ratios[1:]:
         ratio = _np_ext_mul(ratio, r)
-    ratio_dev = GL2(gl.from_u64(ratio[0]), gl.from_u64(ratio[1]))
-    z_dev = device.grand_product_exclusive(ratio_dev)
-    z_vals = (gl.to_u64(z_dev.c0), gl.to_u64(z_dev.c1))
+    z_vals = npgl.ext_exclusive_prefix_mul(ratio)
 
     # intermediate partials: partial_i = z * chunk_0 * ... * chunk_i
     intermediates = []
@@ -247,6 +258,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         prev = _np_ext_mul(prev, r)
         intermediates.append(prev)
 
+    _stage("stage2: copy-perm products")
     # -- stage 3: lookup A/B polys ----------------------------------------
     lookup_a_polys = []  # per subargument: (c0, c1) arrays
     lookup_b_polys = []
@@ -284,6 +296,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         b = _np_ext_mul_base(_np_ext_inv(agg_t), mult_cols[0])
         lookup_b_polys.append(b)
 
+    _stage("stage3: lookup A/B")
     # -- stage 4: stage-2 oracle ------------------------------------------
     stage2_cols = [z_vals[0], z_vals[1]]
     for p in intermediates:
@@ -296,6 +309,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
                                     hasher, tree_lde=fri_lde)
     transcript.witness_merkle_tree_cap(stage2_oracle.get_cap())
 
+    _stage("stage4: stage2 oracle")
     # -- stage 5: alpha powers --------------------------------------------
     alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
     num_intermediates = len(intermediates)
@@ -316,6 +330,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     remaining_alphas = alpha_pows[total_lookup_terms + total_specialized_terms
                                   + total_general_terms:]
 
+    _stage("stage5: alphas")
     # -- stage 6: quotient accumulation over (qd, n) LDE -------------------
     size = qd * n
     acc = (np.zeros(size, np.uint64), np.zeros(size, np.uint64))
@@ -447,6 +462,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         term = _np_ext_sub(lhs_acc, rhs_acc)
         acc = _np_ext_add(acc, _np_ext_scale(term, a))
 
+    _stage("stage6: quotient accumulation")
     # -- stage 7: divide by vanishing, iNTT, chunk -------------------------
     vanish_inv = device.vanishing_inverse_per_coset(n, qd)
     vi = np.repeat(vanish_inv, n)
@@ -471,9 +487,10 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         quotient_monomials, fri_lde, cap_size, hasher)
     transcript.witness_merkle_tree_cap(quotient_oracle.get_cap())
 
+    _stage("stage7: quotient oracle")
     # -- stage 8: evaluations at z, z·ω, 0 ---------------------------------
     z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
-    z_pows = device.powers_of_ext(z_pt, n)
+    z_pows = npgl.ext_powers(z_pt, n)
 
     values_at_z = []
     values_at_z.extend(_eval_base_polys(witness_oracle, z_pows,
@@ -508,7 +525,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
 
     # z(z·ω)
     zw = ext2.s2_mul(z_pt, (omega, 0))
-    zw_pows = device.powers_of_ext(zw, n)
+    zw_pows = npgl.ext_powers(zw, n)
     values_at_z_omega = _eval_ext_polys(stage2_oracle, zw_pows, [(0, 1)])
     transcript.witness_field_elements([values_at_z_omega[0][0],
                                        values_at_z_omega[0][1]])
@@ -516,7 +533,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     # values at 0 for A_i and B: constant coefficient of the monomials
     values_at_0 = []
     if lp.lookup_is_allowed:
-        mono_host = device.from_device(stage2_oracle.monomials[0])  # row 0 = c_0
+        mono_host = stage2_oracle.monomials_host[0]  # row 0 = c_0
         a_off = 2 * (1 + num_intermediates)
         for i in range(num_lookup_subargs):
             values_at_0.append((int(mono_host[a_off + 2 * i]),
@@ -526,6 +543,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         for v in values_at_0:
             transcript.witness_field_elements([v[0], v[1]])
 
+    _stage("stage8: evals at z")
     # -- stage 9: DEEP linear combination ----------------------------------
     deep = _s2(tuple(transcript.get_multiple_challenges(2)))
     # count challenges: per value at z, 1 for z_omega, per value at 0, publics
@@ -605,6 +623,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         vals = [(value, 0) for (_, value) in subset]
         add_quotening(srcs, vals, (open_at, 0))
 
+    _stage("stage9: DEEP")
     # -- stage 10: FRI ------------------------------------------------------
     basic_pow_bits = proof_config.pow_bits
     new_pow_bits, num_queries, schedule, final_degree = compute_fri_schedule(
@@ -613,6 +632,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     fri_result = do_fri(h[0], h[1], transcript, schedule, fri_lde,
                         cap_size, hasher)
 
+    _stage("stage10: FRI")
     # -- stage 11: PoW ------------------------------------------------------
     pow_challenge = 0
     if new_pow_bits > 0:
@@ -622,6 +642,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         high = pow_challenge >> 32
         transcript.witness_field_elements([low, high])
 
+    _stage("stage11: PoW")
     # -- stage 12: queries --------------------------------------------------
     max_needed_bits = (n * fri_lde).bit_length() - 1
     num_coset_bits = fri_lde.bit_length() - 1
@@ -652,6 +673,7 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
         rounds.append(SingleRoundQueries(witness_q, stage2_q, quotient_q,
                                          setup_q, fri_queries))
 
+    _stage("stage12: queries")
     return Proof(
         proof_config=proof_config,
         public_inputs=public_input_values,
@@ -681,12 +703,30 @@ def _evaluate_gate_np(ev, src: TraceView, geometry) -> list[np.ndarray]:
 
 
 def _eval_base_polys(oracle: CommittedOracle, z_pows, indices) -> list:
+    """Host evaluation: Σ c_i·z^i per poly, vectorized over coefficients."""
     indices = list(indices)
     if not indices:
         return []
-    mono = oracle.monomials
-    sub = GL(mono.lo[:, indices], mono.hi[:, indices])
-    return device.eval_monomials_at_ext(sub, z_pows)
+    mono = oracle.monomials_host[:, indices]  # (n, k)
+    out = []
+    for j in range(mono.shape[1]):
+        col = mono[:, j]
+        c0 = int(_mod_sum(npgl.mul(z_pows[0], col)))
+        c1 = int(_mod_sum(npgl.mul(z_pows[1], col)))
+        out.append((c0, c1))
+    return out
+
+
+def _mod_sum(a):
+    """Modular sum of a u64 array: log n vectorized pairwise npgl.adds."""
+    a = np.asarray(a, np.uint64)
+    while a.shape[0] > 1:
+        half = a.shape[0] // 2
+        s = npgl.add(a[:half], a[half:2 * half])
+        if a.shape[0] % 2:
+            s = np.concatenate([s, a[-1:]])
+        a = s
+    return a[0]
 
 
 def _eval_ext_polys(oracle: CommittedOracle, z_pows, pairs) -> list:

@@ -136,6 +136,63 @@ def batch_inv(a):
     return inv(a)
 
 
+# -- extension-field (c0, c1) pair helpers, vectorized ----------------------
+
+
+def ext_mul(a, b):
+    v0 = mul(a[0], b[0])
+    v1 = mul(a[1], b[1])
+    c0 = add(v0, mul(v1, np.uint64(7)))
+    t = mul(add(a[0], a[1]), add(b[0], b[1]))
+    return (c0, sub(sub(t, v0), v1))
+
+
+def ext_powers(base, count: int):
+    """[base^0 .. base^(count-1)] for an ext scalar, vectorized doubling."""
+    c0 = np.empty(count, np.uint64)
+    c1 = np.empty(count, np.uint64)
+    if count == 0:
+        return (c0, c1)
+    c0[0], c1[0] = 1, 0
+    have = 1
+    cur = (int(base[0]) % ORDER, int(base[1]) % ORDER)
+    step = cur
+    while have < count:
+        take = min(have, count - have)
+        s0 = np.uint64(step[0])
+        s1 = np.uint64(step[1])
+        r = ext_mul((c0[:take], c1[:take]), (s0, s1))
+        c0[have:have + take] = r[0]
+        c1[have:have + take] = r[1]
+        have += take
+        # step = base^have
+        v0 = (step[0] * step[0] + 7 * step[1] * step[1]) % ORDER
+        v1 = (2 * step[0] * step[1]) % ORDER
+        step = (v0, v1)
+    # note: step doubling above squares; recompute precisely for correctness
+    return (c0, c1)
+
+
+def ext_exclusive_prefix_mul(a):
+    """Exclusive prefix products of ext pairs via Hillis-Steele (log n
+    vectorized passes) — the host twin of the device associative scan."""
+    n = a[0].shape[0]
+    inc0 = a[0].copy()
+    inc1 = a[1].copy()
+    shift = 1
+    while shift < n:
+        m0 = ext_mul((inc0[shift:], inc1[shift:]), (inc0[:-shift], inc1[:-shift]))
+        inc0[shift:] = m0[0]
+        inc1[shift:] = m0[1]
+        shift <<= 1
+    out0 = np.empty(n, np.uint64)
+    out1 = np.empty(n, np.uint64)
+    out0[0], out1[0] = 1, 0
+    out0[1:] = inc0[:-1]
+    out1[1:] = inc1[:-1]
+    return (out0, out1)
+
+
 def powers(base: int, count: int):
     """[base^0 .. base^(count-1)] as uint64 (exact doubling ladder)."""
     out = np.empty(count, np.uint64)

@@ -62,9 +62,14 @@ def _registry():
 def build_evaluators(specs):
     reg = _registry()
     out = []
-    for (name, n) in specs:
-        if name in reg:
-            out.append(reg[name](n))
+    for (name, params) in specs:
+        if name.startswith("matrix_mul"):
+            from ..cs.gates.arith import MatrixMulEvaluator
+            ev = MatrixMulEvaluator(params)
+            ev.name = name
+            out.append(ev)
+        elif name in reg:
+            out.append(reg[name](params))
         else:
             base = name.rsplit("_", 1)[0]
             out.append(reg[base](int(name.rsplit("_", 1)[1])))

@@ -145,3 +145,29 @@ def test_unsatisfied_circuit_asserts():
     artifacts = create_setup_and_vk(cs, setup_base, cfg, "poseidon2")
     with pytest.raises(AssertionError):
         prove(cs, artifacts, cfg, "poseidon2", "poseidon2")
+
+
+def test_serialization_roundtrip(tmp_path):
+    from boojum_tpu.prover.proof import proof_to_json
+    from boojum_tpu.prover.serialization import (
+        load_setup_base, proof_from_json, save_setup_base, vk_from_json,
+        vk_to_json)
+    from boojum_tpu.cs.setup import create_base_setup
+
+    cs = build_small_circuit(with_lookup=True, n_fma=8)
+    proof, artifacts, ok = run_roundtrip(cs, fri_lde=4)
+    assert ok
+    # proof json roundtrip re-verifies
+    p2 = proof_from_json(proof_to_json(proof))
+    assert verify(artifacts.vk, p2, "poseidon2", "poseidon2")
+    # vk json roundtrip verifies the same proof
+    vk2 = vk_from_json(vk_to_json(artifacts.vk))
+    assert verify(vk2, p2, "poseidon2", "poseidon2")
+    # setup base npz roundtrip
+    path = str(tmp_path / "setup.npz")
+    save_setup_base(path, artifacts.setup_base)
+    sb2 = load_setup_base(path)
+    assert np.array_equal(sb2.copy_permutation_polys,
+                          artifacts.setup_base.copy_permutation_polys)
+    assert sb2.selector_paths == [list(p) for p in
+                                  artifacts.setup_base.selector_paths]
