@@ -298,11 +298,28 @@ def pow_const(a: GL, e: int) -> GL:
 
 
 def inverse(a: GL) -> GL:
-    """Fermat inverse a^(p-2). 0 maps to 0 (callers must ensure nonzero).
+    """Fermat inverse a^(p-2), rolled into a lax.fori_loop over the exponent
+    bits (the unrolled 64-step square-and-multiply chain compiles
+    pathologically slowly on XLA:CPU). 0 maps to 0 is NOT guaranteed here —
+    callers must ensure nonzero input."""
+    import jax
+    import jax.numpy as jnp
 
-    Uses the reference's addition-chain-free exponent; for bulk inversion
-    prefer :func:`batch_inverse` (Montgomery trick).
-    """
+    e = ORDER - 2
+    bits = jnp.asarray([(e >> i) & 1 for i in range(64)], dtype=bool)
+
+    def body(i, carry):
+        res, base = carry
+        taken = mul(res, base)
+        res = select(bits[i], taken, res)
+        return (res, square(base))
+
+    res, _ = jax.lax.fori_loop(0, 64, body, (ones(a.shape), a))
+    return res
+
+
+def inverse_unrolled(a: GL) -> GL:
+    """Unrolled Fermat chain (fewer ops at runtime; big traced graph)."""
     return pow_const(a, ORDER - 2)
 
 

@@ -120,17 +120,40 @@ def ext_mul_base(a: GL2, b: GL) -> GL2:
 
 
 def grand_product_exclusive(ratios: GL2) -> GL2:
-    """z[0] = 1, z[i] = prod_{k<i} ratios[k]  (log-depth associative scan)."""
-    inclusive = jax.lax.associative_scan(ext2.mul, ratios, axis=0)
+    """z[0] = 1, z[i] = prod_{k<i} ratios[k].
+
+    Hillis-Steele inclusive scan rolled into a lax.fori_loop (log n
+    iterations of one ext mul + roll + mask) — an explicit associative_scan
+    builds a log n-level unrolled graph that XLA:CPU compiles pathologically
+    slowly."""
     n = ratios.c0.lo.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+
+    def body(i, inc):
+        shift = jnp.left_shift(jnp.int32(1), i)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        keep = idx < shift  # identity operand for the first `shift` lanes
+
+        def roll_mask(arr, fill):
+            rolled = jnp.roll(arr, shift, axis=0)
+            return jnp.where(keep, fill, rolled)
+
+        operand = GL2(
+            GL(roll_mask(inc.c0.lo, jnp.uint32(1)), roll_mask(inc.c0.hi, 0)),
+            GL(roll_mask(inc.c1.lo, 0), roll_mask(inc.c1.hi, 0)),
+        )
+        return ext2.mul(inc, operand)
+
+    inclusive = jax.lax.fori_loop(0, log_n, body, ratios)
     one = ext2.ones(())
 
-    def shift(inc, one_val):
+    def shift1(inc, one_val):
         return jnp.concatenate([one_val[None], inc[:-1]], axis=0)
 
     return GL2(
-        GL(shift(inclusive.c0.lo, one.c0.lo), shift(inclusive.c0.hi, one.c0.hi)),
-        GL(shift(inclusive.c1.lo, one.c1.lo), shift(inclusive.c1.hi, one.c1.hi)),
+        GL(shift1(inclusive.c0.lo, one.c0.lo), shift1(inclusive.c0.hi, one.c0.hi)),
+        GL(shift1(inclusive.c1.lo, one.c1.lo), shift1(inclusive.c1.hi, one.c1.hi)),
     )
 
 

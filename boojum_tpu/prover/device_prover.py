@@ -1,0 +1,612 @@
+"""Device-resident prove(): the TPU path.
+
+Mirrors prover.prove stage by stage (same transcript order, oracle layouts,
+challenge derivations — a proof produced here is BIT-IDENTICAL to the host
+path's, asserted in tests), but bulk polynomial math stays on device:
+
+- oracles are DeviceOracle (LDEs never leave the device; Merkle hash layers
+  and batched query gathers are the only transfers);
+- stage math composes the medium-grained jitted primitives in jit_ops (each
+  compiles once per shape — avoids the pathological XLA compile times of
+  monolithic stage graphs) plus one per-gate-repetition jit;
+- challenges ride as (2,2)/(T,2,2) u32 arrays, so nothing recompiles across
+  proofs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..cs.cs import ConstraintSystem
+from ..cs.gates.base import GLOps, TraceView
+from ..cs.setup import non_residues_for_copy_permutation
+from ..field import extension as ext2
+from ..field import goldilocks as gl
+from ..field.goldilocks import GL
+from ..transcript import make_transcript
+from ..utils import npgl
+from . import device, pow as pow_mod
+from .fri import compute_fri_schedule, do_fri
+from .jit_ops import EV, jaffine, jbase_mul, jbase_one_minus, scalar_ext
+from .oracles import DeviceOracle
+from .proof import Proof, ProofConfig, SingleRoundQueries
+from .prover import (ProvingArtifacts, _BoolsBuffer, _s2, _u64_from_lsb,
+                     materialize_witness_columns)
+
+P = npgl.ORDER
+
+
+def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2"):
+    """Device-resident setup oracle + VK (cap identical to the host path)."""
+    from .prover import create_setup_and_vk
+
+    host_art = create_setup_and_vk(cs, setup_base, proof_config, hasher)
+    cols = np.concatenate([setup_base.copy_permutation_polys,
+                           setup_base.constant_columns,
+                           setup_base.lookup_tables_columns], axis=0)
+    lde = max(proof_config.fri_lde_factor, setup_base.quotient_degree)
+    oracle = DeviceOracle(cols, lde, proof_config.merkle_tree_cap_size, hasher,
+                          tree_lde=proof_config.fri_lde_factor)
+    return ProvingArtifacts(setup_base=setup_base, setup_oracle=oracle,
+                            vk=host_art.vk)
+
+
+class DeviceProver:
+    def __init__(self, cs: ConstraintSystem, artifacts: ProvingArtifacts,
+                 proof_config: ProofConfig):
+        sb = artifacts.setup_base
+        self.cs = cs
+        self.artifacts = artifacts
+        self.cfg = proof_config
+        self.n = sb.domain_size
+        self.qd = sb.quotient_degree
+        self.fri_lde = proof_config.fri_lde_factor
+        geometry = cs.geometry
+        lp = cs.lookup_parameters
+        self.num_var = (geometry.num_columns_under_copy_permutation
+                        + (cs.specialized_copy_data.shape[0]
+                           if cs.specialized_copy_data is not None else 0))
+        self.num_wit = geometry.num_witness_columns
+        self.num_mult = 1 if lp.lookup_is_allowed else 0
+        self.num_const = sb.constant_columns.shape[0]
+        self.num_table = sb.lookup_tables_columns.shape[0]
+        self.num_intermediates = max(-(-self.num_var // self.qd) - 1, 0)
+        self.non_res = non_residues_for_copy_permutation(self.n, self.num_var)
+        self._gate_jits = {}
+
+    # -- per-gate-repetition jit --------------------------------------------
+
+    def _gate_rep_fn(self, ev):
+        if ev.name in self._gate_jits:
+            return self._gate_jits[ev.name]
+        import jax
+
+        def fn(var_cols_lo, var_cols_hi, wit_cols_lo, wit_cols_hi,
+               const_cols_lo, const_cols_hi):
+            vars_ = [GL(l, h) for l, h in zip(var_cols_lo, var_cols_hi)]
+            wits = [GL(l, h) for l, h in zip(wit_cols_lo, wit_cols_hi)]
+            consts = [GL(l, h) for l, h in zip(const_cols_lo, const_cols_hi)]
+            src = TraceView(vars_, wits, consts)
+            terms = ev.evaluate(src, GLOps)
+            out = []
+            for t in terms:
+                out.append(t.lo)
+                out.append(t.hi)
+            return out
+
+        j = jax.jit(fn)
+        self._gate_jits[ev.name] = j
+        return j
+
+    # -- the prove pipeline --------------------------------------------------
+
+    def prove(self, transcript_kind="poseidon", hasher="poseidon2") -> Proof:
+        import jax.numpy as jnp
+
+        cs = self.cs
+        sb = self.artifacts.setup_base
+        setup_oracle = self.artifacts.setup_oracle
+        vk = self.artifacts.vk
+        cfg = self.cfg
+        n, qd, fri_lde = self.n, self.qd, self.fri_lde
+        used_lde = max(fri_lde, qd)
+        cap_size = cfg.merkle_tree_cap_size
+        lp = cs.lookup_parameters
+        geometry = cs.geometry
+        omega = gl.domain_generator(n.bit_length() - 1)
+        num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
+
+        transcript = make_transcript(transcript_kind)
+        transcript.witness_merkle_tree_cap(vk.setup_merkle_tree_cap)
+        variables_cols, witness_cols, mult_cols = \
+            materialize_witness_columns(cs, n)
+        publics = []
+        for (col, row) in cs.public_inputs:
+            publics.append((col, row, int(variables_cols[col, row])))
+        public_values = [v for (_, _, v) in publics]
+        transcript.witness_field_elements(public_values)
+
+        witness_src = np.concatenate(
+            [variables_cols, witness_cols, mult_cols], axis=0)
+        witness_oracle = DeviceOracle(witness_src, used_lde, cap_size, hasher,
+                                      tree_lde=fri_lde)
+        transcript.witness_merkle_tree_cap(witness_oracle.get_cap())
+
+        beta = _s2(tuple(transcript.get_multiple_challenges(2)))
+        gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
+        lookup_beta = (0, 0)
+        lookup_gamma = (0, 0)
+        if lp.lookup_is_allowed:
+            lookup_beta = _s2(tuple(transcript.get_multiple_challenges(2)))
+            lookup_gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
+        gamma_pows_list = [(1, 0)]
+        for _ in range(self.num_table):
+            gamma_pows_list.append(ext2.s2_mul(gamma_pows_list[-1], lookup_gamma))
+
+        beta_a = scalar_ext(beta)
+        gamma_a = scalar_ext(gamma)
+        lbeta_a = scalar_ext(lookup_beta)
+        gpow_a = [scalar_ext(c) for c in gamma_pows_list]
+
+        # -- stage 2+3 on the base domain -----------------------------------
+        vars_dev = device.to_device_cols(variables_cols)  # (n, num_var)
+        sig_dev = device.to_device_cols(sb.copy_permutation_polys)
+        x_dev = gl.from_u64(npgl.powers(omega, n))
+
+        def col(m, j):
+            return m.lo[:, j], m.hi[:, j]
+
+        chunks = []
+        for c in range(self.num_intermediates + 1):
+            num_acc = EV.const((1, 0), (n,))
+            den_acc = EV.const((1, 0), (n,))
+            for j in range(c * qd, min((c + 1) * qd, self.num_var)):
+                w_lo, w_hi = col(vars_dev, j)
+                nr = scalar_ext((self.non_res[j], 0))
+                bx_lo, bx_hi = jbase_mul(
+                    x_dev.lo, x_dev.hi,
+                    jnp.broadcast_to(jnp.uint32(nr[0, 0]), (n,)),
+                    jnp.broadcast_to(jnp.uint32(nr[0, 1]), (n,)))
+                num_j = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
+                s_lo, s_hi = col(sig_dev, j)
+                den_j = EV(*jaffine(w_lo, w_hi, s_lo, s_hi, beta_a, gamma_a))
+                num_acc = num_acc * num_j
+                den_acc = den_acc * den_j
+            chunks.append(num_acc * den_acc.inv())
+
+        total = chunks[0]
+        for c in chunks[1:]:
+            total = total * c
+        from .jit_ops import jgrand_product_exclusive
+        z_ev = EV(*jgrand_product_exclusive(*total.a))
+        stage2_evs = [z_ev]
+        prev = z_ev
+        for c in chunks[:-1]:
+            prev = prev * c
+            stage2_evs.append(prev)
+
+        if lp.lookup_is_allowed:
+            width = lp.lookup_width()
+            pw = lp.specialized_columns_per_repetition()
+            base_off = geometry.num_columns_under_copy_permutation
+            tbl_dev = device.to_device_cols(sb.lookup_tables_columns)
+            tid_dev = device.to_device_cols(
+                sb.constant_columns[sb.table_ids_column_idxes[0]:
+                                    sb.table_ids_column_idxes[0] + 1])
+            mult_dev = device.to_device_cols(mult_cols)
+            from .jit_ops import jscale_base
+            for rep in range(num_lookup_subargs):
+                agg = EV.const(lookup_beta, (n,))
+                for i in range(width):
+                    w_lo, w_hi = col(vars_dev, base_off + rep * pw + i)
+                    agg = agg + EV(*jscale_base(w_lo, w_hi, gpow_a[i]))
+                t_lo, t_hi = col(tid_dev, 0)
+                agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
+                stage2_evs.append(agg.inv())
+            agg_t = EV.const(lookup_beta, (n,))
+            for i in range(self.num_table):
+                t_lo, t_hi = col(tbl_dev, i)
+                agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
+            m_lo, m_hi = col(mult_dev, 0)
+            stage2_evs.append(agg_t.inv().mul_base(m_lo, m_hi))
+
+        # stage-2 oracle: columns [p.c0, p.c1] per ext poly
+        s2_lo = jnp.stack([a for ev_ in stage2_evs for a in (ev_.a[0], ev_.a[2])],
+                          axis=1)
+        s2_hi = jnp.stack([a for ev_ in stage2_evs for a in (ev_.a[1], ev_.a[3])],
+                          axis=1)
+        stage2_base = GL(s2_lo, s2_hi)
+        stage2_monos = device.cols_to_monomials(stage2_base)
+        stage2_oracle = DeviceOracle(None, used_lde, cap_size, hasher,
+                                     tree_lde=fri_lde, monomials=stage2_monos)
+        transcript.witness_merkle_tree_cap(stage2_oracle.get_cap())
+
+        # -- alphas -----------------------------------------------------------
+        alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
+        total_lookup_terms = num_lookup_subargs + self.num_mult
+        total_general_terms = sum(
+            ev.num_quotient_terms * ev.num_repetitions(geometry)
+            for ev in cs.evaluators_general)
+        total_terms = (total_lookup_terms + total_general_terms
+                       + 2 + self.num_intermediates)
+        alpha_pows = [(1, 0)]
+        for _ in range(total_terms - 1):
+            alpha_pows.append(ext2.s2_mul(alpha_pows[-1], alpha))
+        alpha_arrs = [scalar_ext(a) for a in alpha_pows]
+        ai = 0
+
+        # -- quotient over the (qd·n) flat LDE --------------------------------
+        size = qd * n
+        w_flat = witness_oracle.flat[:size]
+        s_flat = setup_oracle.flat[:size]
+        g2_flat = stage2_oracle.flat[:size]
+        x_lde = gl.from_u64(device.x_poly_lde_host(n, qd).reshape(-1))
+
+        def fcol(m, j):
+            return m.lo[:, j], m.hi[:, j]
+
+        acc = EV.const((0, 0), (size,))
+
+        from .jit_ops import (jext_mul_base, jext_sub_one_c0, jscale_base,
+                              jext_scale)
+
+        if lp.lookup_is_allowed:
+            tid_idx = self.num_var + sb.table_ids_column_idxes[0]
+            a_off = 2 * (1 + self.num_intermediates)
+            for rep in range(num_lookup_subargs):
+                agg = EV.const(lookup_beta, (size,))
+                for i in range(width):
+                    c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
+                    agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
+                t_lo, t_hi = fcol(s_flat, tid_idx)
+                agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
+                a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
+                            g2_flat.hi[:, a_off + 2 * rep],
+                            g2_flat.lo[:, a_off + 2 * rep + 1],
+                            g2_flat.hi[:, a_off + 2 * rep + 1])
+                term = EV(*jext_sub_one_c0(*(a_poly * agg).a))
+                acc = acc + term.scale(alpha_arrs[ai])
+                ai += 1
+            agg_t = EV.const(lookup_beta, (size,))
+            tbl_base = self.num_var + self.num_const
+            for i in range(self.num_table):
+                t_lo, t_hi = fcol(s_flat, tbl_base + i)
+                agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
+            b_off = a_off + 2 * num_lookup_subargs
+            b_poly = EV(g2_flat.lo[:, b_off], g2_flat.hi[:, b_off],
+                        g2_flat.lo[:, b_off + 1], g2_flat.hi[:, b_off + 1])
+            term = b_poly * agg_t
+            m_lo, m_hi = fcol(w_flat, self.num_var + self.num_wit)
+            mz = jnp.zeros_like(m_lo)
+            term = term - EV(m_lo, m_hi, mz, mz)
+            acc = acc + term.scale(alpha_arrs[ai])
+            ai += 1
+
+        # general gates × selector products
+        sel_cache = {}
+
+        def selector_product(path):
+            key = tuple(path)
+            if key not in sel_cache:
+                prod = None
+                for k, bit in enumerate(path):
+                    c_lo, c_hi = fcol(s_flat, self.num_var + k)
+                    if not bit:
+                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
+                    prod = (c_lo, c_hi) if prod is None else \
+                        jbase_mul(prod[0], prod[1], c_lo, c_hi)
+                if prod is None:
+                    ones = gl.ones((size,))
+                    prod = (ones.lo, ones.hi)
+                sel_cache[key] = prod
+            return sel_cache[key]
+
+        for ev_idx, ev in enumerate(cs.evaluators_general):
+            if ev.num_quotient_terms == 0:
+                continue
+            path = sb.selector_paths[ev_idx]
+            sel = selector_product(path)
+            rep_fn = self._gate_rep_fn(ev)
+            dv, dw, dc = ev.per_chunk_offset
+            for rep in range(ev.num_repetitions(geometry)):
+                var_cols = [fcol(w_flat, rep * dv + i)
+                            for i in range(ev.num_variables)]
+                wit_cols = [fcol(w_flat, self.num_var + rep * dw + i)
+                            for i in range(ev.num_witnesses)]
+                const_cols = [fcol(s_flat, self.num_var + len(path) + rep * dc + i)
+                              for i in range(max(ev.num_constants,
+                                                 _consts_read(ev)))]
+                terms = rep_fn([c[0] for c in var_cols], [c[1] for c in var_cols],
+                               [c[0] for c in wit_cols], [c[1] for c in wit_cols],
+                               [c[0] for c in const_cols],
+                               [c[1] for c in const_cols])
+                for t_i in range(len(terms) // 2):
+                    t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
+                    c_lo, c_hi = jbase_mul(t_lo, t_hi, sel[0], sel[1])
+                    acc = acc + EV(*jscale_base(c_lo, c_hi, alpha_arrs[ai]))
+                    ai += 1
+
+        # copy-permutation boundary + recurrences
+        l1 = gl.from_u64(device.unnormalized_l1_lde_host(n, qd).reshape(-1))
+        z_flat = EV(g2_flat.lo[:, 0], g2_flat.hi[:, 0],
+                    g2_flat.lo[:, 1], g2_flat.hi[:, 1])
+        zm1 = EV(*jext_sub_one_c0(*z_flat.a))
+        acc = acc + EV(*jext_mul_base(*zm1.a, l1.lo, l1.hi)).scale(alpha_arrs[ai])
+        ai += 1
+
+        # z shifted LDE from scaled monomials
+        z_mono = GL(stage2_monos.lo[:, 0:2], stage2_monos.hi[:, 0:2])
+        scale_pows = gl.from_u64(npgl.powers(omega, n))
+        z_shift_mono = gl.mul(z_mono, GL(scale_pows.lo[:, None],
+                                         scale_pows.hi[:, None]))
+        zs_lde = device.monomials_to_lde(z_shift_mono, qd).reshape(size, 2)
+        z_shift = EV(zs_lde.lo[:, 0], zs_lde.hi[:, 0],
+                     zs_lde.lo[:, 1], zs_lde.hi[:, 1])
+
+        inters = [EV(g2_flat.lo[:, 2 + 2 * i], g2_flat.hi[:, 2 + 2 * i],
+                     g2_flat.lo[:, 3 + 2 * i], g2_flat.hi[:, 3 + 2 * i])
+                  for i in range(self.num_intermediates)]
+        lhs_list = inters + [z_shift]
+        rhs_list = [z_flat] + inters
+        for rel_idx, (lhs, rhs) in enumerate(zip(lhs_list, rhs_list)):
+            lhs_acc, rhs_acc = lhs, rhs
+            for j in range(rel_idx * qd, min((rel_idx + 1) * qd, self.num_var)):
+                w_lo, w_hi = fcol(w_flat, j)
+                sg_lo, sg_hi = fcol(s_flat, j)
+                den = EV(*jaffine(w_lo, w_hi, sg_lo, sg_hi, beta_a, gamma_a))
+                nr = scalar_ext((self.non_res[j], 0))
+                bx_lo, bx_hi = jbase_mul(
+                    x_lde.lo, x_lde.hi,
+                    jnp.broadcast_to(jnp.uint32(nr[0, 0]), (size,)),
+                    jnp.broadcast_to(jnp.uint32(nr[0, 1]), (size,)))
+                num_ = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
+                lhs_acc = lhs_acc * den
+                rhs_acc = rhs_acc * num_
+            acc = acc + (lhs_acc - rhs_acc).scale(alpha_arrs[ai])
+            ai += 1
+        assert ai == total_terms
+
+        # vanishing division + full-domain iNTT -> quotient monomials
+        vanish = gl.from_u64(
+            np.repeat(device.vanishing_inverse_per_coset(n, qd), n))
+        acc = EV(*jext_mul_base(*acc.a, vanish.lo, vanish.hi))
+        plan_log = size.bit_length() - 1
+        q0 = _intt_coset_jit(plan_log)(GL(acc.a[0][:, None], acc.a[1][:, None]))
+        q1 = _intt_coset_jit(plan_log)(GL(acc.a[2][:, None], acc.a[3][:, None]))
+        if cs.config.runtime_asserts:
+            top0 = int(np.asarray(q0.lo[-1, 0])) | \
+                (int(np.asarray(q0.hi[-1, 0])) << 32)
+            top1 = int(np.asarray(q1.lo[-1, 0])) | \
+                (int(np.asarray(q1.hi[-1, 0])) << 32)
+            assert top0 == 0 and top1 == 0, "unsatisfied circuit"
+
+        qcols_lo, qcols_hi = [], []
+        for k in range(qd):
+            qcols_lo.append(q0.lo[k * n:(k + 1) * n, 0])
+            qcols_hi.append(q0.hi[k * n:(k + 1) * n, 0])
+            qcols_lo.append(q1.lo[k * n:(k + 1) * n, 0])
+            qcols_hi.append(q1.hi[k * n:(k + 1) * n, 0])
+        q_monos = GL(jnp.stack(qcols_lo, axis=1), jnp.stack(qcols_hi, axis=1))
+        quotient_oracle = DeviceOracle(None, fri_lde, cap_size, hasher,
+                                       monomials=q_monos)
+        transcript.witness_merkle_tree_cap(quotient_oracle.get_cap())
+
+        # -- evaluations at z -------------------------------------------------
+        z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
+        z_pows = npgl.ext_powers(z_pt, n)
+        ev_w = witness_oracle.eval_monomials_at(z_pows)
+        ev_s = setup_oracle.eval_monomials_at(z_pows)
+        ev_2 = stage2_oracle.eval_monomials_at(z_pows)
+        ev_q = quotient_oracle.eval_monomials_at(z_pows)
+
+        def pair(evals, i):
+            f0, f1 = evals[2 * i], evals[2 * i + 1]
+            return ((f0[0] + 7 * f1[1]) % P, (f0[1] + f1[0]) % P)
+
+        nv, nw, nm, nc, nt = (self.num_var, self.num_wit, self.num_mult,
+                              self.num_const, self.num_table)
+        values_at_z = []
+        values_at_z.extend(ev_w[:nv + nw])
+        values_at_z.extend(ev_s[nv:nv + nc])
+        values_at_z.extend(ev_s[:nv])
+        values_at_z.append(pair(ev_2, 0))
+        for i in range(self.num_intermediates):
+            values_at_z.append(pair(ev_2, 1 + i))
+        if lp.lookup_is_allowed:
+            values_at_z.extend(ev_w[nv + nw:nv + nw + nm])
+            a_base = 1 + self.num_intermediates
+            for i in range(num_lookup_subargs):
+                values_at_z.append(pair(ev_2, a_base + i))
+            values_at_z.append(pair(ev_2, a_base + num_lookup_subargs))
+            values_at_z.extend(ev_s[nv + nc:nv + nc + nt])
+        for k in range(qd):
+            values_at_z.append(pair(ev_q, k))
+        for v in values_at_z:
+            transcript.witness_field_elements([v[0], v[1]])
+
+        zw = ext2.s2_mul(z_pt, (omega, 0))
+        zw_pows = npgl.ext_powers(zw, n)
+        ev_zw = stage2_oracle.eval_monomials_at(zw_pows)
+        values_at_z_omega = [pair(ev_zw, 0)]
+        transcript.witness_field_elements([values_at_z_omega[0][0],
+                                           values_at_z_omega[0][1]])
+
+        values_at_0 = []
+        if lp.lookup_is_allowed:
+            row0 = (np.asarray(stage2_oracle.monomials.lo[0], np.uint64) |
+                    (np.asarray(stage2_oracle.monomials.hi[0], np.uint64)
+                     << np.uint64(32)))
+            a_off = 2 * (1 + self.num_intermediates)
+            for i in range(num_lookup_subargs):
+                values_at_0.append((int(row0[a_off + 2 * i]),
+                                    int(row0[a_off + 2 * i + 1])))
+            b_off = a_off + 2 * num_lookup_subargs
+            values_at_0.append((int(row0[b_off]), int(row0[b_off + 1])))
+            for v in values_at_0:
+                transcript.witness_field_elements([v[0], v[1]])
+
+        # -- DEEP --------------------------------------------------------------
+        deep = _s2(tuple(transcript.get_multiple_challenges(2)))
+        pub_tuples = {}
+        for (c_, r_, value) in publics:
+            open_at = pow(omega, r_, P)
+            pub_tuples.setdefault(open_at, []).append((c_, value))
+        total_ch = len(values_at_z) + 1 + len(values_at_0) + \
+            sum(len(s) for s in pub_tuples.values())
+        deep_pows = [(1, 0)]
+        for _ in range(total_ch - 1):
+            deep_pows.append(ext2.s2_mul(deep_pows[-1], deep))
+        lam_it = iter([scalar_ext(c) for c in deep_pows])
+
+        fsize = fri_lde * n
+        x_fri = gl.from_u64(device.x_poly_lde_host(n, fri_lde).reshape(-1))
+        h = EV.const((0, 0), (fsize,))
+
+        def base_src(oracle, idx):
+            f = oracle.flat[:fsize]
+            z_ = jnp.zeros((fsize,), jnp.uint32)
+            return EV(f.lo[:, idx], f.hi[:, idx], z_, z_)
+
+        def ext_src(oracle, i0, i1):
+            f = oracle.flat[:fsize]
+            return EV(f.lo[:, i0], f.hi[:, i0], f.lo[:, i1], f.hi[:, i1])
+
+        def quotening(sources, values, point):
+            nonlocal h
+            acc_l = EV.const((0, 0), (fsize,))
+            for s_, v_ in zip(sources, values):
+                diff = s_ - EV.const(tuple(v_), (fsize,))
+                acc_l = acc_l + diff.scale(next(lam_it))
+            den = EV.from_base(x_fri.lo, x_fri.hi) - EV.const(point, (fsize,))
+            h = h + acc_l * den.inv()
+
+        sources_z = []
+        for i in range(nv + nw):
+            sources_z.append(base_src(witness_oracle, i))
+        for i in range(nc):
+            sources_z.append(base_src(setup_oracle, nv + i))
+        for i in range(nv):
+            sources_z.append(base_src(setup_oracle, i))
+        sources_z.append(ext_src(stage2_oracle, 0, 1))
+        for i in range(self.num_intermediates):
+            sources_z.append(ext_src(stage2_oracle, 2 + 2 * i, 3 + 2 * i))
+        if lp.lookup_is_allowed:
+            for i in range(nm):
+                sources_z.append(base_src(witness_oracle, nv + nw + i))
+            a_off = 2 * (1 + self.num_intermediates)
+            for i in range(num_lookup_subargs):
+                sources_z.append(ext_src(stage2_oracle, a_off + 2 * i,
+                                         a_off + 2 * i + 1))
+            b_off = a_off + 2 * num_lookup_subargs
+            sources_z.append(ext_src(stage2_oracle, b_off, b_off + 1))
+            for i in range(nt):
+                sources_z.append(base_src(setup_oracle, nv + nc + i))
+        for k in range(qd):
+            sources_z.append(ext_src(quotient_oracle, 2 * k, 2 * k + 1))
+        assert len(sources_z) == len(values_at_z)
+        quotening(sources_z, values_at_z, z_pt)
+        quotening([ext_src(stage2_oracle, 0, 1)], values_at_z_omega, zw)
+        if lp.lookup_is_allowed:
+            srcs0 = []
+            a_off = 2 * (1 + self.num_intermediates)
+            for i in range(num_lookup_subargs):
+                srcs0.append(ext_src(stage2_oracle, a_off + 2 * i,
+                                     a_off + 2 * i + 1))
+            b_off = a_off + 2 * num_lookup_subargs
+            srcs0.append(ext_src(stage2_oracle, b_off, b_off + 1))
+            quotening(srcs0, values_at_0, (0, 0))
+        for open_at, subset in pub_tuples.items():
+            srcs = [base_src(witness_oracle, c_) for (c_, _) in subset]
+            vals = [(value, 0) for (_, value) in subset]
+            quotening(srcs, vals, (open_at, 0))
+
+        h_host = h.to_host()
+
+        # -- FRI + PoW + queries ----------------------------------------------
+        new_pow_bits, num_queries, schedule, _fd = compute_fri_schedule(
+            cfg.security_level, cap_size, cfg.pow_bits,
+            fri_lde.bit_length() - 1, n.bit_length() - 1)
+        fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,
+                            fri_lde, cap_size, hasher)
+
+        pow_challenge = 0
+        if new_pow_bits > 0:
+            challenges = transcript.get_multiple_challenges(4)
+            pow_challenge = pow_mod.blake2s_pow(challenges, new_pow_bits)
+            transcript.witness_field_elements(
+                [pow_challenge & 0xFFFFFFFF, pow_challenge >> 32])
+
+        max_needed_bits = (n * fri_lde).bit_length() - 1
+        num_coset_bits = fri_lde.bit_length() - 1
+        num_inner_bits = max_needed_bits - num_coset_bits
+        bools = _BoolsBuffer(max_needed_bits)
+        positions = []
+        for _ in range(num_queries):
+            bits = bools.get_bits(transcript, max_needed_bits)
+            positions.append((_u64_from_lsb(bits[num_inner_bits:]),
+                              _u64_from_lsb(bits[:num_inner_bits])))
+        flat_idx = [c_ * n + i_ for (c_, i_) in positions]
+        w_rows = witness_oracle.query_many(flat_idx)
+        s2_rows = stage2_oracle.query_many(flat_idx)
+        q_rows = quotient_oracle.query_many(flat_idx)
+        su_rows = setup_oracle.query_many(flat_idx)
+
+        rounds = []
+        for qi, (coset_idx, inner_idx) in enumerate(positions):
+            rounds.append(SingleRoundQueries(
+                witness_oracle.query(coset_idx, inner_idx, w_rows, qi),
+                stage2_oracle.query(coset_idx, inner_idx, s2_rows, qi),
+                quotient_oracle.query(coset_idx, inner_idx, q_rows, qi),
+                setup_oracle.query(coset_idx, inner_idx, su_rows, qi),
+                _fri_queries(fri_result, schedule, n, coset_idx, inner_idx)))
+
+        return Proof(
+            proof_config=cfg,
+            public_inputs=public_values,
+            witness_oracle_cap=witness_oracle.get_cap(),
+            stage_2_oracle_cap=stage2_oracle.get_cap(),
+            quotient_oracle_cap=quotient_oracle.get_cap(),
+            final_fri_monomials=fri_result.monomial_forms,
+            values_at_z=values_at_z,
+            values_at_z_omega=values_at_z_omega,
+            values_at_0=values_at_0,
+            fri_base_oracle_cap=fri_result.base_oracle.get_cap(),
+            fri_intermediate_oracles_caps=[
+                o.get_cap() for o in fri_result.intermediate_oracles],
+            queries_per_fri_repetition=rounds,
+            pow_challenge=pow_challenge,
+        )
+
+
+def _fri_queries(fri_result, schedule, n, coset_idx, inner_idx):
+    out = []
+    cur_domain = n
+    cur_inner = inner_idx
+    for idx, k in enumerate(schedule):
+        fidx = coset_idx * cur_domain + cur_inner
+        if idx == 0:
+            out.append(fri_result.base_oracle.query(fidx))
+        else:
+            out.append(fri_result.intermediate_oracles[idx - 1].query(fidx))
+        cur_inner >>= k
+        cur_domain >>= k
+    return out
+
+
+def _consts_read(ev):
+    """Constants the evaluator actually reads (>= num_constants for gates
+    with row-shared constants)."""
+    return ev.num_constants
+
+
+@functools.lru_cache(maxsize=None)
+def _intt_coset_jit(log_size):
+    import jax
+
+    from ..ntt import ntt as jntt
+
+    plan = jntt.get_plan(log_size)
+    g = gl.MULTIPLICATIVE_GENERATOR
+    return jax.jit(lambda x: jntt.coset_intt_cols(x, g, plan))

@@ -99,3 +99,97 @@ class FlatOracle:
         for s in self.sources:
             values.extend(int(x) for x in s[start:start + self.elems_per_leaf])
         return OracleQuery(leaf_elements=values, proof=path)
+
+
+class DeviceOracle:
+    """Device-resident oracle: LDEs stay on device; the Merkle tree hashes
+    device leaf columns (only hash layers cross to host); query values are
+    gathered in one batched device call after indices are known.
+
+    The TPU-path replacement for CommittedOracle (which pulls full LDEs to
+    host — fine on the CPU dev backend, fatal over a device interconnect)."""
+
+    def __init__(self, lagrange_cols_u64, lde_factor: int, cap_size: int,
+                 hasher: str, tree_lde: int = None, monomials=None):
+        import jax.numpy as jnp
+
+        if monomials is None:
+            cols_dev = device.to_device_cols(lagrange_cols_u64)
+            monomials = device.cols_to_monomials(cols_dev)
+        self.monomials = monomials  # (n, k) device
+        self.n = monomials.shape[0]
+        self.num_polys = monomials.shape[1]
+        self.lde_factor = lde_factor
+        self.tree_lde = tree_lde or lde_factor
+        lde = device.monomials_to_lde(monomials, lde_factor)  # (L, n, k)
+        self.flat = lde.reshape(lde_factor * self.n, self.num_polys)
+        assert hasher in ("poseidon", "poseidon2"), \
+            "device oracles require an algebraic hasher"
+        tree_rows = self.flat[: self.tree_lde * self.n]
+        leaf_cols = gl.GL(tree_rows.lo.T, tree_rows.hi.T)
+        self.tree = AlgebraicMerkleTree.from_leaf_columns(
+            leaf_cols, cap_size, hasher)
+
+    def get_cap(self):
+        return self.tree.get_cap()
+
+    def query_many(self, flat_indices) -> np.ndarray:
+        """Gather leaf values for all queries at once -> (q, k) host u64."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(np.asarray(flat_indices, np.int64))
+        lo = self.flat.lo[idx]
+        hi = self.flat.hi[idx]
+        return (np.asarray(lo, np.uint64) |
+                (np.asarray(hi, np.uint64) << np.uint64(32)))
+
+    def query(self, coset_idx: int, inner_idx: int, cached_rows=None,
+              row_pos: int = None) -> OracleQuery:
+        leaf_idx = coset_idx * self.n + inner_idx
+        leaf, path = self.tree.get_proof(leaf_idx)
+        vals = cached_rows[row_pos]
+        return OracleQuery(leaf_elements=[int(v) for v in vals], proof=path)
+
+    def eval_monomials_at(self, z_pows_host) -> list:
+        """Evaluate all polys at the ext point: f(z) = Σ cᵢ·zⁱ on device,
+        processed in fixed column blocks; returns [(c0, c1), ...] host ints
+        where the pair is (Σ cᵢ·(z^i)_c0, Σ cᵢ·(z^i)_c1)."""
+        import jax.numpy as jnp
+
+        zp0 = gl.from_u64(z_pows_host[0])
+        zp1 = gl.from_u64(z_pows_host[1])
+        f = _eval_jit(self.n)
+        k = self.num_polys
+        out = []
+        B = device.COL_BLOCK
+        for start in range(0, k, B):
+            blk_lo = self.monomials.lo[:, start:start + B]
+            blk_hi = self.monomials.hi[:, start:start + B]
+            pad = B - blk_lo.shape[1]
+            if pad:
+                blk_lo = jnp.pad(blk_lo, ((0, 0), (0, pad)))
+                blk_hi = jnp.pad(blk_hi, ((0, 0), (0, pad)))
+            s0l, s0h = f(blk_lo, blk_hi, zp0.lo, zp0.hi)
+            s1l, s1h = f(blk_lo, blk_hi, zp1.lo, zp1.hi)
+            r0 = np.asarray(s0l, np.uint64) | (np.asarray(s0h, np.uint64) << np.uint64(32))
+            r1 = np.asarray(s1l, np.uint64) | (np.asarray(s1h, np.uint64) << np.uint64(32))
+            take = min(B, k - start)
+            out.extend((int(r0[j]), int(r1[j])) for j in range(take))
+        return out
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.lru_cache(maxsize=None)
+def _eval_jit(n):
+    def f(mono_lo, mono_hi, zp_lo, zp_hi):
+        mono = gl.GL(mono_lo, mono_hi)
+        zp = gl.GL(zp_lo, zp_hi)
+        prod = gl.mul(mono, gl.GL(zp.lo[:, None], zp.hi[:, None]))
+        s = device._sum_gl(prod, axis=0)
+        return s.lo, s.hi
+
+    return _jax.jit(f)

@@ -171,3 +171,21 @@ def test_serialization_roundtrip(tmp_path):
                           artifacts.setup_base.copy_permutation_polys)
     assert sb2.selector_paths == [list(p) for p in
                                   artifacts.setup_base.selector_paths]
+
+
+def test_device_prover_matches_host():
+    """The device-resident prover must emit a BIT-IDENTICAL proof."""
+    from boojum_tpu.prover.device_prover import DeviceProver, create_device_setup
+    from boojum_tpu.prover.proof import proof_to_json
+
+    cs = build_small_circuit(with_lookup=True, n_fma=12)
+    assert cs.check_if_satisfied()
+    sb = create_base_setup(cs)
+    cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4)
+    host_art = create_setup_and_vk(cs, sb, cfg, "poseidon2")
+    host_proof = prove(cs, host_art, cfg, "poseidon2", "poseidon2")
+    dev_art = create_device_setup(cs, sb, cfg, "poseidon2")
+    dp = DeviceProver(cs, dev_art, cfg)
+    dev_proof = dp.prove("poseidon2", "poseidon2")
+    assert verify(dev_art.vk, dev_proof, "poseidon2", "poseidon2")
+    assert proof_to_json(host_proof) == proof_to_json(dev_proof)
