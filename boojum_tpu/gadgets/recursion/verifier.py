@@ -1,0 +1,472 @@
+"""The recursive verifier: the full proof verification re-expressed as
+circuit constraints.
+
+Reference behavior: src/gadgets/recursion/recursive_verifier.rs:381-2135 —
+the same flow as the plain verifier with every value a circuit variable and
+every hash a circuit sponge; gate evaluation at z reuses the SAME
+GateConstraintEvaluator bodies over circuit extension values (here:
+CircuitExt2Ops through the ops protocol — the design payoff of SURVEY §1).
+
+Differences from the reference (documented):
+- validity is ENFORCED (an invalid inner proof makes the outer circuit
+  unsatisfiable) instead of returning a Boolean;
+- the VK (fixed params + setup cap) is circuit constants — the outer circuit
+  is specialized per inner VK, the standard aggregation setup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...cs.cs import ConstraintSystem
+from ...cs.gates.base import TraceView
+from ...field.goldilocks import MULTIPLICATIVE_GENERATOR, ORDER, domain_generator
+from ...prover.fri import compute_fri_schedule
+from ...prover.proof import Proof, VerificationKey
+from ...utils import npgl
+from ...verifier.verifier import build_evaluators
+from ..num import CircuitExt2Ops, CircuitOps
+from .primitives import CircuitMerkle, CircuitTranscript, decompose_bits, \
+    select_by_bits
+
+P = ORDER
+
+
+@dataclass
+class AllocatedProof:
+    """All proof fields as witness variable handles
+    (reference allocated_proof.rs)."""
+
+    public_inputs: list
+    witness_cap: list
+    stage_2_cap: list
+    quotient_cap: list
+    fri_base_cap: list
+    fri_intermediate_caps: list
+    final_fri_monomials: tuple
+    values_at_z: list
+    values_at_z_omega: list
+    values_at_0: list
+    queries: list  # per query: dict of leaf-value lists + path node lists
+
+    @classmethod
+    def allocate(cls, cs: ConstraintSystem, proof: Proof) -> "AllocatedProof":
+        a = lambda v: cs.alloc_variable_with_value(int(v) % P)
+        cap = lambda c: [tuple(a(x) for x in el) for el in c]
+        pairs = lambda vs: [(a(v[0]), a(v[1])) for v in vs]
+
+        queries = []
+        for q in proof.queries_per_fri_repetition:
+            queries.append({
+                "witness": [a(v) for v in q.witness_query.leaf_elements],
+                "witness_path": cap(q.witness_query.proof),
+                "stage2": [a(v) for v in q.stage_2_query.leaf_elements],
+                "stage2_path": cap(q.stage_2_query.proof),
+                "quotient": [a(v) for v in q.quotient_query.leaf_elements],
+                "quotient_path": cap(q.quotient_query.proof),
+                "setup": [a(v) for v in q.setup_query.leaf_elements],
+                "setup_path": cap(q.setup_query.proof),
+                "fri": [[a(v) for v in f.leaf_elements] for f in q.fri_queries],
+                "fri_paths": [cap(f.proof) for f in q.fri_queries],
+            })
+        return cls(
+            public_inputs=[a(v) for v in proof.public_inputs],
+            witness_cap=cap(proof.witness_oracle_cap),
+            stage_2_cap=cap(proof.stage_2_oracle_cap),
+            quotient_cap=cap(proof.quotient_oracle_cap),
+            fri_base_cap=cap(proof.fri_base_oracle_cap),
+            fri_intermediate_caps=[cap(c)
+                                   for c in proof.fri_intermediate_oracles_caps],
+            final_fri_monomials=([a(v) for v in proof.final_fri_monomials[0]],
+                                 [a(v) for v in proof.final_fri_monomials[1]]),
+            values_at_z=pairs(proof.values_at_z),
+            values_at_z_omega=pairs(proof.values_at_z_omega),
+            values_at_0=pairs(proof.values_at_0),
+            queries=queries,
+        )
+
+
+def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
+                     proof: AllocatedProof, proof_config,
+                     transcript_kind: str = "poseidon",
+                     hasher: str = "poseidon2"):
+    fixed = vk.fixed_parameters
+    n = fixed.domain_size
+    log_n = n.bit_length() - 1
+    qd = fixed.quotient_degree
+    fri_lde = fixed.fri_lde_factor
+    cap_size = fixed.cap_size
+    geometry = fixed.geometry
+    lp = fixed.lookup_parameters
+    omega = domain_generator(log_n)
+    evaluators = build_evaluators(fixed.evaluator_specs)
+
+    ops = CircuitOps(cs)
+    eops = CircuitExt2Ops(cs)
+    E_ONE = eops.one()
+    E_ZERO = eops.zero()
+
+    num_var = fixed.num_variable_polys
+    num_wit = fixed.num_witness_polys
+    num_const = fixed.num_constant_polys
+    num_mult = fixed.num_multiplicity_polys
+    num_table = lp.lookup_width() + 1 if lp.lookup_is_allowed else 0
+    num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
+    num_intermediates = max(-(-num_var // qd) - 1, 0)
+
+    # -- transcript mirror ---------------------------------------------------
+    tr = CircuitTranscript(cs, ops, transcript_kind)
+    tr.witness_merkle_tree_cap(
+        [tuple(ops.from_int(int(x)) for x in el)
+         for el in vk.setup_merkle_tree_cap])
+    tr.witness_field_elements(proof.public_inputs)
+    tr.witness_merkle_tree_cap(proof.witness_cap)
+    beta = tuple(tr.get_multiple_challenges(2))
+    gamma = tuple(tr.get_multiple_challenges(2))
+    lookup_beta = lookup_gamma = (ops.from_int(0), ops.from_int(0))
+    if lp.lookup_is_allowed:
+        lookup_beta = tuple(tr.get_multiple_challenges(2))
+        lookup_gamma = tuple(tr.get_multiple_challenges(2))
+    tr.witness_merkle_tree_cap(proof.stage_2_cap)
+    alpha = tuple(tr.get_multiple_challenges(2))
+    tr.witness_merkle_tree_cap(proof.quotient_cap)
+    z_pt = tuple(tr.get_multiple_challenges(2))
+    for v in proof.values_at_z:
+        tr.witness_field_elements([v[0], v[1]])
+    tr.witness_field_elements([proof.values_at_z_omega[0][0],
+                               proof.values_at_z_omega[0][1]])
+    for v in proof.values_at_0:
+        tr.witness_field_elements([v[0], v[1]])
+
+    # -- parse values at z ---------------------------------------------------
+    vals = list(proof.values_at_z)
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = vals[idx:idx + k]
+        idx += k
+        return out
+
+    v_vars = take(num_var)
+    v_wits = take(num_wit)
+    v_consts = take(num_const)
+    v_sigmas = take(num_var)
+    v_z = take(1)[0]
+    v_inter = take(num_intermediates)
+    v_mults = take(num_mult) if lp.lookup_is_allowed else []
+    v_a = take(num_lookup_subargs) if lp.lookup_is_allowed else []
+    v_b = take(num_mult) if lp.lookup_is_allowed else []
+    v_tables = take(num_table) if lp.lookup_is_allowed else []
+    v_quotient = take(qd)
+    assert idx == len(vals)
+    v_z_omega = proof.values_at_z_omega[0]
+
+    # -- alpha powers --------------------------------------------------------
+    total_lookup_terms = num_lookup_subargs + num_mult
+    total_general_terms = sum(ev.num_quotient_terms * ev.num_repetitions(geometry)
+                              for ev in evaluators)
+    total_terms = total_lookup_terms + total_general_terms + 2 + num_intermediates
+    alpha_pows = [E_ONE]
+    for _ in range(total_terms - 1):
+        alpha_pows.append(eops.mul(alpha_pows[-1], alpha))
+    lookup_alphas = alpha_pows[:total_lookup_terms]
+    general_alphas = alpha_pows[total_lookup_terms:
+                                total_lookup_terms + total_general_terms]
+    remaining_alphas = alpha_pows[total_lookup_terms + total_general_terms:]
+
+    # -- quotient identity at z ----------------------------------------------
+    rhs = E_ZERO
+    gamma_pows = [E_ONE]
+    if lp.lookup_is_allowed:
+        width = lp.lookup_width()
+        for _ in range(width):
+            gamma_pows.append(eops.mul(gamma_pows[-1], lookup_gamma))
+        tid_at_z = v_consts[fixed.table_ids_column_idxes[0]]
+        it = iter(lookup_alphas)
+        pw = lp.specialized_columns_per_repetition()
+        base_off = geometry.num_columns_under_copy_permutation
+        for rep in range(num_lookup_subargs):
+            agg = lookup_beta
+            for i in range(width):
+                agg = eops.add(agg, eops.mul(gamma_pows[i],
+                                             v_vars[base_off + rep * pw + i]))
+            agg = eops.add(agg, eops.mul(gamma_pows[width], tid_at_z))
+            term = eops.sub(eops.mul(v_a[rep], agg), E_ONE)
+            rhs = eops.add(rhs, eops.mul(term, next(it)))
+        agg_t = lookup_beta
+        for i in range(num_table):
+            agg_t = eops.add(agg_t, eops.mul(gamma_pows[i], v_tables[i]))
+        term = eops.sub(eops.mul(v_b[0], agg_t), v_mults[0])
+        rhs = eops.add(rhs, eops.mul(term, next(it)))
+
+    gen_it = iter(general_alphas)
+    for ev_idx, ev in enumerate(evaluators):
+        if ev.num_quotient_terms == 0:
+            continue
+        path = fixed.selector_paths[ev_idx]
+        sel = E_ONE
+        for k, bit in enumerate(path):
+            c = v_consts[k]
+            sel = eops.mul(sel, c if bit else eops.sub(E_ONE, c))
+        src = TraceView(v_vars, v_wits, v_consts[len(path):])
+        terms = ev.evaluate_repetitions(src, eops, geometry)
+        for term in terms:
+            rhs = eops.add(rhs, eops.mul(eops.mul(term, sel), next(gen_it)))
+
+    rem_it = iter(remaining_alphas)
+    z_pow_n = z_pt
+    for _ in range(log_n):
+        z_pow_n = eops.mul(z_pow_n, z_pow_n)
+    vanishing = eops.sub(z_pow_n, E_ONE)
+    l1_unnorm = eops.mul(vanishing, eops.inverse(eops.sub(z_pt, E_ONE)))
+    rhs = eops.add(rhs, eops.mul(eops.mul(eops.sub(v_z, E_ONE), l1_unnorm),
+                                 next(rem_it)))
+
+    from ...cs.setup import non_residues_for_copy_permutation
+    non_res = non_residues_for_copy_permutation(n, num_var)
+    lhs_list = list(v_inter) + [v_z_omega]
+    rhs_list = [v_z] + list(v_inter)
+    for rel_idx, (lhs_v, rhs_v) in enumerate(zip(lhs_list, rhs_list)):
+        a = next(rem_it)
+        lhs_acc, rhs_acc = lhs_v, rhs_v
+        for j in range(rel_idx * qd, min((rel_idx + 1) * qd, num_var)):
+            den = eops.add(eops.add(v_vars[j], eops.mul(beta, v_sigmas[j])),
+                           gamma)
+            bx = eops.mul(beta, eops.mul(eops.from_int(non_res[j]), z_pt))
+            num_ = eops.add(eops.add(v_vars[j], bx), gamma)
+            lhs_acc = eops.mul(lhs_acc, den)
+            rhs_acc = eops.mul(rhs_acc, num_)
+        rhs = eops.add(rhs, eops.mul(eops.sub(lhs_acc, rhs_acc), a))
+
+    q_at_z = E_ZERO
+    z_pow_nk = E_ONE
+    for k in range(qd):
+        q_at_z = eops.add(q_at_z, eops.mul(z_pow_nk, v_quotient[k]))
+        z_pow_nk = eops.mul(z_pow_nk, z_pow_n)
+    eops.enforce_equal(eops.mul(q_at_z, vanishing), rhs)
+
+    if lp.lookup_is_allowed:
+        a_sum = E_ZERO
+        for i in range(num_lookup_subargs):
+            a_sum = eops.add(a_sum, proof.values_at_0[i])
+        b_sum = E_ZERO
+        for i in range(num_mult):
+            b_sum = eops.add(b_sum, proof.values_at_0[num_lookup_subargs + i])
+        eops.enforce_equal(a_sum, b_sum)
+
+    # -- DEEP challenges + FRI transcript ------------------------------------
+    deep = tuple(tr.get_multiple_challenges(2))
+    pub_tuples = {}
+    for (col, row), value in zip(fixed.public_inputs_locations,
+                                 proof.public_inputs):
+        open_at = pow(omega, row, P)
+        pub_tuples.setdefault(open_at, []).append((col, value))
+    total_ch = len(vals) + 1 + len(proof.values_at_0) + \
+        sum(len(s) for s in pub_tuples.values())
+    deep_pows = [E_ONE]
+    for _ in range(total_ch - 1):
+        deep_pows.append(eops.mul(deep_pows[-1], deep))
+
+    new_pow_bits, num_queries, schedule, final_degree = compute_fri_schedule(
+        proof_config.security_level, cap_size, proof_config.pow_bits,
+        fri_lde.bit_length() - 1, log_n)
+    assert new_pow_bits == 0, "circuit PoW not implemented in round 1"
+    tr.witness_merkle_tree_cap(proof.fri_base_cap)
+    fri_challenges = []
+    for i, k in enumerate(schedule):
+        if i > 0:
+            tr.witness_merkle_tree_cap(proof.fri_intermediate_caps[i - 1])
+        fri_challenges.append(tuple(tr.get_multiple_challenges(2)))
+    tr.witness_field_elements(proof.final_fri_monomials[0])
+    tr.witness_field_elements(proof.final_fri_monomials[1])
+
+    # -- queries -------------------------------------------------------------
+    max_needed_bits = (n * fri_lde).bit_length() - 1
+    num_coset_bits = fri_lde.bit_length() - 1
+    num_inner_bits = max_needed_bits - num_coset_bits
+    bits_available = 64 - max_needed_bits
+    merkle = CircuitMerkle(cs, ops, hasher)
+    g = MULTIPLICATIVE_GENERATOR
+    full_size = n * fri_lde
+    log_full = full_size.bit_length() - 1
+    omega_full = domain_generator(log_full)
+
+    bit_pool: list = []
+    while len(bit_pool) < num_queries * max_needed_bits:
+        ch = tr.get_challenge()
+        ch_bits = decompose_bits(cs, ops, ch, 64, enforce_canonical=True)
+        bit_pool.extend(ch_bits[:bits_available])
+
+    num_witness_elems = num_var + num_wit + num_mult
+    num_stage2_elems = 2 * (1 + num_intermediates + num_lookup_subargs + num_mult)
+    num_setup_elems = num_var + num_const + num_table
+
+    for q in proof.queries:
+        qbits = bit_pool[:max_needed_bits]
+        del bit_pool[:max_needed_bits]
+        # flat index bits (LSB first): inner bits then coset bits
+        assert len(q["witness"]) == num_witness_elems
+        assert len(q["stage2"]) == num_stage2_elems
+        assert len(q["setup"]) == num_setup_elems
+
+        for leaf, path, cap in [
+            (q["witness"], q["witness_path"], proof.witness_cap),
+            (q["stage2"], q["stage2_path"], proof.stage_2_cap),
+            (q["quotient"], q["quotient_path"], proof.quotient_cap),
+            (q["setup"], q["setup_path"],
+             [tuple(ops.from_int(int(x)) for x in el)
+              for el in vk.setup_merkle_tree_cap]),
+        ]:
+            lh = merkle.hash_leaf(leaf)
+            merkle.verify_path(lh, path, cap, qbits, cap_is_constant=False)
+
+        # x_q = g · ω_full^{bitrev(flat)}; bit i of flat sits at reversed
+        # position (log_full - 1 - i) of the exponent
+        x_q = ops.from_int(g)
+        for i, b in enumerate(qbits):
+            e = pow(omega_full, 1 << (log_full - 1 - i), P)
+            x_q = ops.mul(x_q, select_by_bits(
+                cs, [ops.from_int(1), ops.from_int(e)], [b]))
+
+        # DEEP recomputation at x_q
+        w = q["witness"]
+        s2_ = q["stage2"]
+        qt = q["quotient"]
+        st_ = q["setup"]
+        sources_z = []
+        for i in range(num_var + num_wit):
+            sources_z.append(eops.from_base(w[i]))
+        for i in range(num_const):
+            sources_z.append(eops.from_base(st_[num_var + i]))
+        for i in range(num_var):
+            sources_z.append(eops.from_base(st_[i]))
+        sources_z.append((s2_[0], s2_[1]))
+        for i in range(num_intermediates):
+            sources_z.append((s2_[2 + 2 * i], s2_[3 + 2 * i]))
+        if lp.lookup_is_allowed:
+            for i in range(num_mult):
+                sources_z.append(eops.from_base(w[num_var + num_wit + i]))
+            a_off = 2 * (1 + num_intermediates)
+            for i in range(num_lookup_subargs):
+                sources_z.append((s2_[a_off + 2 * i], s2_[a_off + 2 * i + 1]))
+            b_off = a_off + 2 * num_lookup_subargs
+            sources_z.append((s2_[b_off], s2_[b_off + 1]))
+            for i in range(num_table):
+                sources_z.append(eops.from_base(st_[num_var + num_const + i]))
+        for k in range(qd):
+            sources_z.append((qt[2 * k], qt[2 * k + 1]))
+
+        li = 0
+        h_val = E_ZERO
+
+        def quotening(sources, values, point, h_val, li):
+            acc = E_ZERO
+            for s, v in zip(sources, values):
+                diff = eops.sub(s, v)
+                acc = eops.add(acc, eops.mul(diff, deep_pows[li]))
+                li += 1
+            den = eops.sub(eops.from_base(x_q), point)
+            return eops.add(h_val, eops.mul(acc, eops.inverse(den))), li
+
+        h_val, li = quotening(sources_z, proof.values_at_z, z_pt, h_val, li)
+        zw_pt = eops.mul(z_pt, eops.from_int(omega))
+        h_val, li = quotening([(s2_[0], s2_[1])], proof.values_at_z_omega,
+                              zw_pt, h_val, li)
+        if lp.lookup_is_allowed:
+            srcs0 = []
+            a_off = 2 * (1 + num_intermediates)
+            for i in range(num_lookup_subargs):
+                srcs0.append((s2_[a_off + 2 * i], s2_[a_off + 2 * i + 1]))
+            b_off = a_off + 2 * num_lookup_subargs
+            srcs0.append((s2_[b_off], s2_[b_off + 1]))
+            h_val, li = quotening(srcs0, proof.values_at_0, E_ZERO, h_val, li)
+        for open_at, subset in pub_tuples.items():
+            srcs = [eops.from_base(w[col]) for (col, _) in subset]
+            vs = [eops.from_base(value) for (_, value) in subset]
+            h_val, li = quotening(srcs, vs, eops.from_int(open_at), h_val, li)
+
+        # FRI: fold layer by layer
+        expected = h_val
+        cur_inner_bits = list(qbits)
+        cur_full = full_size
+        g_cur = g
+        for layer_i, k in enumerate(schedule):
+            leaf = q["fri"][layer_i]
+            elems = 1 << k
+            # leaf index bits = flat bits above the low k
+            leaf_bits = cur_inner_bits[k:]
+            in_leaf_bits = cur_inner_bits[:k]
+            cap = proof.fri_base_cap if layer_i == 0 \
+                else proof.fri_intermediate_caps[layer_i - 1]
+            lh = merkle.hash_leaf(leaf)
+            merkle.verify_path(lh, q["fri_paths"][layer_i], cap, leaf_bits,
+                               cap_is_constant=False)
+            # expected value sits at position (in_leaf_bits) of the c0/c1 halves
+            c0s = leaf[:elems]
+            c1s = leaf[elems:]
+            pos_c0 = select_by_bits(cs, c0s, in_leaf_bits)
+            pos_c1 = select_by_bits(cs, c1s, in_leaf_bits)
+            eops.enforce_equal((pos_c0, pos_c1), expected)
+
+            # fold the whole leaf to one value
+            # x of element t: X_t = x_leafbase · ζ^{bitrev_k(t)} where the
+            # leaf-base x is x_common with low-k bits dropped:
+            # compute x_base (and inverse) fresh from leaf_bits
+            log_cur = cur_full.bit_length() - 1
+            om = domain_generator(log_cur)
+            xb = ops.from_int(g_cur)
+            xb_inv = ops.from_int(pow(g_cur, P - 2, P))
+            for i, b in enumerate(leaf_bits):
+                e = pow(om, 1 << (log_cur - 1 - (k + i)), P)
+                xb = ops.mul(xb, select_by_bits(
+                    cs, [ops.from_int(1), ops.from_int(e)], [b]))
+                xb_inv = ops.mul(xb_inv, select_by_bits(
+                    cs, [ops.from_int(1), ops.from_int(pow(e, P - 2, P))], [b]))
+            zeta = pow(om, 1 << (log_cur - k), P) if k > 0 else 1
+            # within-leaf x multipliers (constants)
+            def bitrev(t, kk):
+                r = 0
+                for i_ in range(kk):
+                    r = (r << 1) | ((t >> i_) & 1)
+                return r
+            xs_inv = [ops.mul(xb_inv, ops.from_int(
+                pow(pow(om, bitrev(t, k) << (log_cur - k), P), P - 2, P)))
+                for t in range(elems)]
+            vals_fold = [(c0s[t], c1s[t]) for t in range(elems)]
+            ch = fri_challenges[layer_i]
+            cur_ch = ch
+            while len(vals_fold) > 1:
+                nxt = []
+                nxt_xs_inv = []
+                for t in range(0, len(vals_fold), 2):
+                    fx, fmx = vals_fold[t], vals_fold[t + 1]
+                    diff = eops.mul_by_base(eops.sub(fx, fmx), xs_inv[t])
+                    folded = eops.add(eops.add(fx, fmx), eops.mul(cur_ch, diff))
+                    nxt.append(folded)
+                    nxt_xs_inv.append(ops.mul(xs_inv[t], xs_inv[t]))
+                vals_fold = nxt
+                xs_inv = nxt_xs_inv
+                cur_ch = eops.mul(cur_ch, cur_ch)
+            expected = vals_fold[0]
+            cur_inner_bits = cur_inner_bits[k:]
+            cur_full >>= k
+            g_cur = pow(g_cur, 1 << k, P)
+
+        # final monomial evaluation at the final point
+        log_fin = cur_full.bit_length() - 1
+        om_fin = domain_generator(log_fin)
+        x_fin = ops.from_int(g_cur)
+        for i, b in enumerate(cur_inner_bits):
+            e = pow(om_fin, 1 << (log_fin - 1 - i), P)
+            x_fin = ops.mul(x_fin, select_by_bits(
+                cs, [ops.from_int(1), ops.from_int(e)], [b]))
+        acc = E_ZERO
+        xp = E_ONE
+        for c0v, c1v in zip(proof.final_fri_monomials[0],
+                            proof.final_fri_monomials[1]):
+            acc = eops.add(acc, eops.mul(xp, (c0v, c1v)))
+            xp = eops.mul_by_base(xp, x_fin)
+        eops.enforce_equal(acc, expected)

@@ -1,0 +1,89 @@
+"""Recursion-layer tests: in-circuit primitives and the recursive verifier
+over a real inner proof (reference src/gadgets/recursion/ tests).
+
+The inner proof uses the recursive-bench combination (classic-Poseidon
+transcript + Poseidon2 tree, sha256/mod.rs:286) at reduced FRI parameters so
+the outer circuit stays small in CI."""
+
+import numpy as np
+import pytest
+
+from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry
+from boojum_tpu.cs.gates import (BooleanConstraintGate, ConstantsAllocatorGate,
+                                 FmaGate, NopGate, ReductionGate, SelectionGate,
+                                 ZeroCheckGate)
+from boojum_tpu.cs.gates.arith import FmaGateInExtension
+from boojum_tpu.cs.setup import create_base_setup
+from boojum_tpu.gadgets.num import CircuitExt2Ops, CircuitOps
+from boojum_tpu.gadgets.poseidon2_circuit import allow_poseidon2_gates
+from boojum_tpu.gadgets.recursion.primitives import allow_poseidon_gates
+from boojum_tpu.gadgets.recursion.verifier import AllocatedProof, recursive_verify
+from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
+from boojum_tpu.verifier import verify
+from tests.test_prove_verify import build_small_circuit
+
+RNG = np.random.default_rng(21)
+
+
+def make_outer_cs(max_trace=1 << 15):
+    geom = CSGeometry(num_columns_under_copy_permutation=60,
+                      num_witness_columns=0, num_constant_columns=8,
+                      max_allowed_constraint_degree=4)
+    cs = ConstraintSystem(geom, max_trace, CSConfig.dev())
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
+              SelectionGate, ZeroCheckGate, FmaGateInExtension):
+        cs.allow_gate(g)
+    cs.allow_gate(ReductionGate, params=4)
+    allow_poseidon2_gates(cs)
+    allow_poseidon_gates(cs)
+    return cs
+
+
+def test_circuit_ext_ops():
+    from boojum_tpu.field import extension as ext2
+    cs = make_outer_cs(1 << 10)
+    eops = CircuitExt2Ops(cs)
+    P = (1 << 64) - (1 << 32) + 1
+    a = (int(RNG.integers(0, P, dtype=np.uint64)), int(RNG.integers(0, P, dtype=np.uint64)))
+    b = (int(RNG.integers(0, P, dtype=np.uint64)), int(RNG.integers(0, P, dtype=np.uint64)))
+    av = (cs.alloc_variable_with_value(a[0]), cs.alloc_variable_with_value(a[1]))
+    bv = (cs.alloc_variable_with_value(b[0]), cs.alloc_variable_with_value(b[1]))
+    m = eops.mul(av, bv)
+    want = ext2.s2_mul(a, b)
+    assert (cs.get_value(m[0]), cs.get_value(m[1])) == want
+    inv = eops.inverse(av)
+    assert ext2.s2_mul(a, (cs.get_value(inv[0]), cs.get_value(inv[1]))) == (1, 0)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+@pytest.mark.slow
+def test_recursive_verifier_over_real_proof():
+    # inner proof: small lookup circuit, reduced security for circuit size
+    inner = build_small_circuit(with_lookup=True, n_fma=8)
+    assert inner.check_if_satisfied()
+    sb = create_base_setup(inner)
+    cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4,
+                      security_level=20, pow_bits=0)
+    art = create_setup_and_vk(inner, sb, cfg, "poseidon2")
+    proof = prove(inner, art, cfg, "poseidon", "poseidon2")
+    assert verify(art.vk, proof, "poseidon", "poseidon2")
+
+    outer = make_outer_cs(1 << 16)
+    alloc = AllocatedProof.allocate(outer, proof)
+    recursive_verify(outer, art.vk, alloc, cfg, "poseidon", "poseidon2")
+    outer.pad_and_shrink()
+    print("recursion circuit rows:", outer.final_trace_len)
+    assert outer.check_if_satisfied()
+
+    # a corrupted inner proof must make the outer circuit unsatisfiable
+    import copy
+    bad = copy.deepcopy(proof)
+    v = list(bad.values_at_z[2])
+    v[0] = (v[0] + 1) % ((1 << 64) - (1 << 32) + 1)
+    bad.values_at_z[2] = tuple(v)
+    outer2 = make_outer_cs(1 << 16)
+    alloc2 = AllocatedProof.allocate(outer2, bad)
+    recursive_verify(outer2, art.vk, alloc2, cfg, "poseidon", "poseidon2")
+    outer2.pad_and_shrink()
+    assert not outer2.check_if_satisfied(verbose=False)
