@@ -1,0 +1,62 @@
+"""Hash-chained circuit queue (reference src/gadgets/queue/mod.rs:29).
+
+A commitment queue: pushing absorbs elements into the tail state, popping
+advances the head state with prover-supplied elements; when the queue is
+emptied the head must equal the tail — which proves pops returned exactly
+the pushed sequence. States are Poseidon2 sponge states (capacity-4 chain,
+like the tree hasher's node hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cs.cs import ConstraintSystem
+from ..cs.gates import ConstantsAllocatorGate
+from .num import CircuitOps
+from .poseidon2_circuit import Poseidon2Circuit
+
+
+class CircuitQueue:
+    def __init__(self, cs: ConstraintSystem, ops: CircuitOps = None,
+                 element_width: int = 4):
+        assert element_width <= 8
+        self.cs = cs
+        self.ops = ops or CircuitOps(cs)
+        self.p2 = Poseidon2Circuit(cs, self.ops)
+        self.element_width = element_width
+        zero = self.ops.from_int(0)
+        self.head = [zero] * 4
+        self.tail = [zero] * 4
+        self.length = 0  # host-tracked; the chain states carry soundness
+        self._witness_log: list[list[int]] = []  # popped values source
+
+    def _absorb(self, state: list, values: list) -> list:
+        zero = self.ops.from_int(0)
+        block = list(values) + [zero] * (8 - len(values))
+        st = block + state  # rate 8 + capacity 4
+        return self.p2.permutation(st)[:4]
+
+    def push(self, values: list):
+        """values: element_width variable handles."""
+        assert len(values) == self.element_width
+        self.tail = self._absorb(self.tail, values)
+        self._witness_log.append([self.cs.get_value(v) for v in values]
+                                 if self.cs.resolver is not None else [])
+        self.length += 1
+
+    def pop(self) -> list:
+        """Allocate the popped element as witness and advance the head."""
+        assert self.length > 0
+        vals = self._witness_log.pop(0) if self._witness_log else \
+            [0] * self.element_width
+        out = [self.cs.alloc_variable_with_value(v) for v in vals]
+        self.head = self._absorb(self.head, out)
+        self.length -= 1
+        return out
+
+    def enforce_consistency(self):
+        """Call once the queue is fully drained: head chain == tail chain."""
+        assert self.length == 0, "queue must be empty"
+        for a, b in zip(self.head, self.tail):
+            self.ops.enforce_equal(a, b)

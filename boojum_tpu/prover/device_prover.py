@@ -102,8 +102,20 @@ class DeviceProver:
 
     # -- the prove pipeline --------------------------------------------------
 
-    def prove(self, transcript_kind="poseidon", hasher="poseidon2") -> Proof:
+    def prove(self, transcript_kind="poseidon", hasher="poseidon2",
+              verbose: bool = False) -> Proof:
+        import sys as _sys
+        import time as _time
         import jax.numpy as jnp
+
+        _t = [_time.time()]
+
+        def _stage(label):
+            if verbose:
+                now = _time.time()
+                print("[dev-prove] %-24s %.2fs" % (label, now - _t[0]),
+                      file=_sys.stderr, flush=True)
+                _t[0] = now
 
         cs = self.cs
         sb = self.artifacts.setup_base
@@ -134,6 +146,7 @@ class DeviceProver:
                                       tree_lde=fri_lde)
         transcript.witness_merkle_tree_cap(witness_oracle.get_cap())
 
+        _stage("witness oracle")
         beta = _s2(tuple(transcript.get_multiple_challenges(2)))
         gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
         lookup_beta = (0, 0)
@@ -223,6 +236,7 @@ class DeviceProver:
                                      tree_lde=fri_lde, monomials=stage2_monos)
         transcript.witness_merkle_tree_cap(stage2_oracle.get_cap())
 
+        _stage("stage2+3")
         # -- alphas -----------------------------------------------------------
         alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
         total_lookup_terms = num_lookup_subargs + self.num_mult
@@ -393,6 +407,7 @@ class DeviceProver:
                                        monomials=q_monos)
         transcript.witness_merkle_tree_cap(quotient_oracle.get_cap())
 
+        _stage("quotient")
         # -- evaluations at z -------------------------------------------------
         z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
         z_pows = npgl.ext_powers(z_pt, n)
@@ -447,6 +462,7 @@ class DeviceProver:
             for v in values_at_0:
                 transcript.witness_field_elements([v[0], v[1]])
 
+        _stage("evals at z")
         # -- DEEP --------------------------------------------------------------
         deep = _s2(tuple(transcript.get_multiple_challenges(2)))
         pub_tuples = {}
@@ -524,6 +540,7 @@ class DeviceProver:
 
         h_host = h.to_host()
 
+        _stage("DEEP")
         # -- FRI + PoW + queries ----------------------------------------------
         new_pow_bits, num_queries, schedule, _fd = compute_fri_schedule(
             cfg.security_level, cap_size, cfg.pow_bits,
@@ -562,6 +579,7 @@ class DeviceProver:
                 setup_oracle.query(coset_idx, inner_idx, su_rows, qi),
                 _fri_queries(fri_result, schedule, n, coset_idx, inner_idx)))
 
+        _stage("FRI+queries")
         return Proof(
             proof_config=cfg,
             public_inputs=public_values,

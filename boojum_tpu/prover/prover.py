@@ -106,7 +106,7 @@ def _np_ext_mul_base(a, b):  # ext array * base array
 def _np_ext_inv(a):
     norm = npgl.sub(npgl.mul(a[0], a[0]),
                     npgl.mul(npgl.mul(a[1], a[1]), np.uint64(7)))
-    ninv = npgl.inv(norm)
+    ninv = npgl.batch_inv(norm)  # native Montgomery chain when available
     return (npgl.mul(a[0], ninv), npgl.neg(npgl.mul(a[1], ninv)))
 
 

@@ -1,0 +1,96 @@
+"""Typed wrapper + queue gadget tests (reference src/gadgets/num, boolean,
+u8/u16/u32, queue)."""
+
+import numpy as np
+
+from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters
+from boojum_tpu.cs.gates import (BooleanConstraintGate, ConstantsAllocatorGate,
+                                 FmaGate, NopGate, ReductionGate, SelectionGate,
+                                 ZeroCheckGate, U32AddGate)
+from boojum_tpu.gadgets import sha256 as sha_mod
+from boojum_tpu.gadgets.poseidon2_circuit import allow_poseidon2_gates
+from boojum_tpu.gadgets.queue import CircuitQueue
+from boojum_tpu.gadgets.wrappers import Boolean, Num, UInt8, UInt16, UInt32, UInt64
+
+RNG = np.random.default_rng(31)
+
+
+def make_cs(with_tables=True, max_trace=1 << 14):
+    geom = CSGeometry(60, 0, 4, 4)
+    cs = ConstraintSystem(geom, max_trace, CSConfig.dev())
+    if with_tables:
+        cs.allow_lookup(LookupParameters.specialized_with_table_id_as_constant(
+            width=4, num_repetitions=8, share_table_id=True))
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
+              SelectionGate, ZeroCheckGate, U32AddGate):
+        cs.allow_gate(g)
+    cs.allow_gate(ReductionGate, params=4)
+    allow_poseidon2_gates(cs)
+    tids = sha_mod.add_sha256_tables(cs) if with_tables else None
+    return cs, tids
+
+
+def test_num_boolean():
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 10)
+    P = (1 << 64) - (1 << 32) + 1
+    a = Num.allocate(cs, 123456789)
+    b = Num.allocate(cs, 987654321)
+    assert a.add(b).get_witness() == (123456789 + 987654321) % P
+    assert a.mul(b).get_witness() == (123456789 * 987654321) % P
+    assert a.sub(b).get_witness() == (123456789 - 987654321) % P
+    assert not a.equals(b).get_witness()
+    assert a.equals(a).get_witness()
+    t = Boolean.allocate(cs, True)
+    f = Boolean.allocate(cs, False)
+    assert t.and_(f).get_witness() is False
+    assert t.or_(f).get_witness() is True
+    assert f.not_().get_witness() is True
+    assert a.select(t, b).get_witness() == 123456789
+    assert a.select(f, b).get_witness() == 987654321
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_uints():
+    cs, tids = make_cs()
+    v8 = UInt8.allocate_checked(cs, 0xAB, tids)
+    v16 = UInt16.allocate_checked(cs, 0xBEEF, tids)
+    v32 = UInt32.allocate_checked(cs, 0xDEADBEEF, tids)
+    v64 = UInt64.allocate_checked(cs, 0x0123456789ABCDEF, tids)
+    assert v8.get_witness() == 0xAB
+    assert v16.get_witness() == 0xBEEF
+    assert v32.get_witness() == 0xDEADBEEF
+    assert v64.get_witness() == 0x0123456789ABCDEF
+    a = UInt32.allocate_checked(cs, 0xFFFFFFF0, tids)
+    b = UInt32.allocate_checked(cs, 0x20, tids)
+    c, carry = a.add(b)
+    assert c.get_witness() == (0xFFFFFFF0 + 0x20) % (1 << 32)
+    assert carry.get_witness() is True
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_uint_range_check_catches_bad_value():
+    cs, tids = make_cs()
+    v = UInt8.allocate_checked(cs, 0x12, tids)
+    # corrupt the witness beyond 8 bits
+    cs.resolver.values[v.variable] = 0x1234
+    cs.pad_and_shrink()
+    assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_circuit_queue():
+    cs, _ = make_cs(with_tables=False)
+    q = CircuitQueue(cs, element_width=4)
+    P = (1 << 64) - (1 << 32) + 1
+    items = [[int(x) for x in RNG.integers(0, P, 4, dtype=np.uint64)]
+             for _ in range(5)]
+    for it in items:
+        q.push([cs.alloc_variable_with_value(v) for v in it])
+    popped = []
+    while q.length:
+        popped.append([cs.get_value(v) for v in q.pop()])
+    assert popped == items
+    q.enforce_consistency()
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
