@@ -1,0 +1,219 @@
+"""Non-native field emulation over 16-bit limbs.
+
+Reference behavior: src/gadgets/non_native_field/implementations/
+implementation_u16.rs — foreign-modulus (e.g. BN254 base field) arithmetic
+with u16 limbs. Multiplication is checked via the witness identity
+a·b = q·M + r evaluated limb-column-wise with carry propagation:
+
+  for every limb column k:  Σ_{i+j=k} (aᵢ·bⱼ − qᵢ·Mⱼ) − rₖ + carry_{k-1}
+                            = carry_k · 2^16,
+
+with every aᵢ/bᵢ/qᵢ/rᵢ 16-bit range-checked (RangeCheck16 table when
+available, else bit decomposition) and carries bounded. All limb sums stay
+far below the Goldilocks modulus (≤ 2L·(2^16)² + carry ≈ 2^38), so the
+column equations are exact field equations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..cs.cs import ConstraintSystem
+from ..cs.gates import ConstantsAllocatorGate, FmaGate, ReductionGate
+from ..utils import npgl
+
+P = npgl.ORDER
+LIMB = 16
+BASE = 1 << LIMB
+
+
+@dataclass
+class NonNativeParams:
+    modulus: int
+    num_limbs: int
+
+    @staticmethod
+    def for_modulus(m: int) -> "NonNativeParams":
+        L = (m.bit_length() + LIMB - 1) // LIMB
+        return NonNativeParams(m, L)
+
+    def limbs_of(self, x: int) -> list:
+        return [(x >> (LIMB * i)) & (BASE - 1) for i in range(self.num_limbs)]
+
+
+class NonNativeField:
+    """A foreign-field element as num_limbs 16-bit limb variables."""
+
+    def __init__(self, cs: ConstraintSystem, params: NonNativeParams,
+                 limbs: list, table_ids: dict = None):
+        self.cs = cs
+        self.params = params
+        self.limbs = limbs  # variable handles, LSB first
+        self.table_ids = table_ids
+
+    # -- allocation -----------------------------------------------------------
+
+    @classmethod
+    def allocate_checked(cls, cs, params: NonNativeParams, value: int,
+                         table_ids: dict = None) -> "NonNativeField":
+        value %= params.modulus
+        limbs = [cs.alloc_variable_with_value(l)
+                 for l in params.limbs_of(value)]
+        out = cls(cs, params, limbs, table_ids)
+        out._range_check(limbs)
+        return out
+
+    @classmethod
+    def constant(cls, cs, params: NonNativeParams, value: int,
+                 table_ids: dict = None) -> "NonNativeField":
+        value %= params.modulus
+        limbs = [ConstantsAllocatorGate.allocate_constant(cs, l)
+                 for l in params.limbs_of(value)]
+        return cls(cs, params, limbs, table_ids)
+
+    def _range_check(self, limb_vars: list, bits: int = LIMB):
+        cs = self.cs
+        if self.table_ids and "range16" in self.table_ids:
+            for v in limb_vars:
+                cs.enforce_lookup(self.table_ids["range16"], [v])
+        else:
+            from .num import CircuitOps
+            from .recursion.primitives import decompose_bits
+            ops = CircuitOps(cs)
+            for v in limb_vars:
+                decompose_bits(cs, ops, v, bits, enforce_canonical=False)
+
+    def get_witness(self) -> int:
+        return sum(self.cs.get_value(l) << (LIMB * i)
+                   for i, l in enumerate(self.limbs))
+
+    # -- arithmetic -----------------------------------------------------------
+
+    def _mod_reduce_witness(self, wide_value_fn, num_q_limbs: int):
+        """Allocate q, r for value = q·M + r given host big-int value."""
+        cs = self.cs
+        params = self.params
+        value = wide_value_fn()
+        q, r = divmod(value, params.modulus)
+        q_limbs = [cs.alloc_variable_with_value((q >> (LIMB * i)) & (BASE - 1))
+                   for i in range(num_q_limbs)]
+        r_limbs = [cs.alloc_variable_with_value(l)
+                   for l in params.limbs_of(r)]
+        self._range_check(q_limbs)
+        self._range_check(r_limbs)
+        return q_limbs, r_limbs
+
+    def _column_chain(self, columns_terms, columns_host, carry_bits: int,
+                      offset_pow: int):
+        """Enforce the signed-carry column chain:
+          terms_k + (c_off_{k-1} - 2^cb) + OFF == c_off_k · 2^16,
+        with OFF = 2^offset_pow - 2^carry_bits making every column
+        non-negative; c_off_k range-checked to (offset_pow - 16 + 1) bits.
+        columns_terms: per column, list of (coeff, var) pairs;
+        columns_host: per column, exact signed host value of the terms."""
+        cs = self.cs
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        cb = carry_bits
+        OFF = (1 << offset_pow) - (1 << cb)
+        c_off_prev = None
+        carry_host = 0
+        c_off_bits = offset_pow - LIMB + 1
+        for k, (terms, host_val) in enumerate(zip(columns_terms, columns_host)):
+            pairs = list(terms)
+            if c_off_prev is not None:
+                pairs.append((1, c_off_prev))
+            pairs.append((OFF if c_off_prev is not None
+                          else OFF + (1 << cb), one))
+            # fold pairs via reduction chains
+            acc = zero
+            while pairs:
+                group = pairs[:3]
+                pairs = pairs[3:]
+                coeffs = [1] + [c % P for (c, _) in group]
+                vars_ = [acc] + [v for (_, v) in group]
+                while len(vars_) < 4:
+                    vars_.append(zero)
+                    coeffs.append(0)
+                acc = ReductionGate.reduce_terms(cs, coeffs, vars_)
+            if cs.resolver:
+                col = host_val + carry_host
+                assert col % BASE == 0, "non-native column identity broken"
+                carry_host = col >> LIMB  # exact (col divisible), signed
+                assert abs(carry_host) < (1 << cb)
+            c_off = cs.alloc_variable_with_value((carry_host + (1 << cb)) % P)
+            FmaGate.enforce_fma_batch(cs, BASE, ([one], [c_off]), 0, [zero],
+                                      [acc])
+            self._range_check([c_off], bits=c_off_bits)
+            c_off_prev = c_off
+        # final signed carry must be zero: c_off == 2^cb
+        from .num import CircuitOps
+        ops = CircuitOps(cs)
+        ops.enforce_equal(c_off_prev, ops.from_int(1 << cb))
+
+    def mul(self, other: "NonNativeField") -> "NonNativeField":
+        cs = self.cs
+        params = self.params
+        L = params.num_limbs
+        M_limbs = params.limbs_of(params.modulus)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+
+        q_limbs, r_limbs = self._mod_reduce_witness(
+            lambda: self.get_witness() * other.get_witness(), L)
+
+        a_val = [cs.get_value(l) for l in self.limbs] if cs.resolver else [0] * L
+        b_val = [cs.get_value(l) for l in other.limbs] if cs.resolver else [0] * L
+        q_val = [cs.get_value(l) for l in q_limbs] if cs.resolver else [0] * L
+        r_val = [cs.get_value(l) for l in r_limbs] if cs.resolver else [0] * L
+
+        columns = []
+        hosts = []
+        for k in range(2 * L - 1):
+            terms = []
+            host = 0
+            for i in range(max(0, k - L + 1), min(k + 1, L)):
+                j = k - i
+                prod = FmaGate.compute_fma(cs, 1,
+                                           (self.limbs[i], other.limbs[j]),
+                                           0, one)
+                terms.append((1, prod))
+                host += a_val[i] * b_val[j]
+                if M_limbs[j]:
+                    terms.append((P - M_limbs[j], q_limbs[i]))
+                    host -= q_val[i] * M_limbs[j]
+            if k < L:
+                terms.append((P - 1, r_limbs[k]))
+                host -= r_val[k]
+            columns.append(terms)
+            hosts.append(host)
+        # max column magnitude ~ L·2^32 < 2^37 -> offset 2^38, carry bits 22
+        self._column_chain(columns, hosts, carry_bits=22, offset_pow=38)
+        return NonNativeField(cs, params, r_limbs, self.table_ids)
+
+    def add(self, other: "NonNativeField") -> "NonNativeField":
+        cs = self.cs
+        params = self.params
+        L = params.num_limbs
+        M_limbs = params.limbs_of(params.modulus)
+        q_limbs, r_limbs = self._mod_reduce_witness(
+            lambda: self.get_witness() + other.get_witness(), 1)
+        a_val = [cs.get_value(l) for l in self.limbs] if cs.resolver else [0] * L
+        b_val = [cs.get_value(l) for l in other.limbs] if cs.resolver else [0] * L
+        q0 = cs.get_value(q_limbs[0]) if cs.resolver else 0
+        r_val = [cs.get_value(l) for l in r_limbs] if cs.resolver else [0] * L
+
+        columns = []
+        hosts = []
+        for k in range(L):
+            terms = [(1, self.limbs[k]), (1, other.limbs[k]),
+                     (P - 1, r_limbs[k])]
+            host = a_val[k] + b_val[k] - r_val[k]
+            if M_limbs[k]:
+                terms.append((P - M_limbs[k], q_limbs[0]))
+                host -= q0 * M_limbs[k]
+            columns.append(terms)
+            hosts.append(host)
+        self._column_chain(columns, hosts, carry_bits=4, offset_pow=20)
+        return NonNativeField(cs, params, r_limbs, self.table_ids)

@@ -1,0 +1,54 @@
+"""Non-native field + SW curve gadget tests (reference
+src/gadgets/non_native_field, curves/)."""
+
+import numpy as np
+
+from boojum_tpu.gadgets.curves import SWAffinePoint
+from boojum_tpu.gadgets.non_native import NonNativeField, NonNativeParams
+from tests.test_wrappers import make_cs
+
+BN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+SECP_P = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
+RNG = np.random.default_rng(17)
+
+
+def test_non_native_mul_add_bn254():
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 14)
+    params = NonNativeParams.for_modulus(BN254)
+    a_val = int.from_bytes(RNG.bytes(31), "big") % BN254
+    b_val = int.from_bytes(RNG.bytes(31), "big") % BN254
+    a = NonNativeField.allocate_checked(cs, params, a_val)
+    b = NonNativeField.allocate_checked(cs, params, b_val)
+    assert a.mul(b).get_witness() == (a_val * b_val) % BN254
+    assert a.add(b).get_witness() == (a_val + b_val) % BN254
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_non_native_corruption_detected():
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 14)
+    params = NonNativeParams.for_modulus(BN254)
+    a = NonNativeField.allocate_checked(cs, params, 12345)
+    b = NonNativeField.allocate_checked(cs, params, 67890)
+    c = a.mul(b)
+    cs.resolver.values[c.limbs[2]] ^= 1
+    cs.pad_and_shrink()
+    assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_secp256k1_point_ops():
+    Gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    Gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    G2x = 0xC6047F9441ED7D6D3045406E95C07CD85C778E4B8CEF3CA7ABAC09B95C709EE5
+    G2y = 0x1AE168FEA63DC339A3C58419466CEAEEF7F632653266D0E1236431A950CFE52A
+    G3x = 0xF9308A019258C31049344F85F89D5229B531C845836F99B08601F113BCE036F9
+    G3y = 0x388F7B0F632DE8140FE337E62A37F3566500A99934C2231B6CB9FD7584B8E672
+    params = NonNativeParams.for_modulus(SECP_P)
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 15)
+    G = SWAffinePoint.allocate_checked(cs, params, Gx, Gy, 0, 7)
+    G2 = G.double()
+    G3 = G2.add_unequal(G)
+    assert (G2.x.get_witness(), G2.y.get_witness()) == (G2x, G2y)
+    assert (G3.x.get_witness(), G3.y.get_witness()) == (G3x, G3y)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
