@@ -540,3 +540,22 @@ class ConstraintSystem:
                         if verbose:
                             print(f"lookup value mismatch rep {rep} row {r}")
         return ok
+
+
+def print_gate_stats(cs: "ConstraintSystem"):
+    """Per-gate row occupancy (reference setup.rs:1300 print_gate_stats)."""
+    from collections import Counter
+    counts = Counter(cs.gates_application_sets)
+    total = max(len(cs.gates_application_sets), 1)
+    print(f"total general-purpose rows: {total}")
+    for idx, ev in enumerate(cs.evaluators_general):
+        c = counts.get(idx, 0)
+        if c:
+            print(f"  {ev.name:32s} {c:8d} rows ({100.0 * c / total:5.1f}%)")
+    if cs.lookup_parameters.lookup_is_allowed:
+        print(f"specialized lookup rows: {cs.lookup_next_row}")
+        for t_i, table in enumerate(cs.lookup_tables):
+            mult = int(cs.lookup_multiplicities[t_i].sum()) \
+                if cs.config.evaluate_witness else 0
+            print(f"  table {table.name:24s} len {len(table):6d} "
+                  f"lookups {mult}")

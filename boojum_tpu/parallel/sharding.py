@@ -160,3 +160,116 @@ def distributed_sum_reduce(mesh: Mesh):
         )(x_lo, x_hi)
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Distributed four-step NTT: one poly too large for a single chip's HBM is
+# row-sharded over the mesh; two all_to_all transposes bracket purely local
+# NTT passes (the classic distributed FFT schedule mapped onto ICI).
+#
+# With n = n1·n2, j = j1·n2 + j2, k = k1 + n1·k2 (see pallas_ntt.ntt_fourstep
+# for the single-chip derivation):
+#   device d starts with the j1-block  [d·n1/S, (d+1)·n1/S)  (natural rows),
+#   transpose 1  -> all j1 for the j2-block of d,
+#   local NTT_{n1} over j1  (bitreversed p1 rows),
+#   · cross twiddle w[p1, j2]  (passed pre-sharded over j2),
+#   transpose 2  -> all j2 for the p1-block of d,
+#   local NTT_{n2} over j2  (bitreversed p2),
+#   flatten (p1_local, p2): device d ends holding the contiguous block
+#   [d·n/S, (d+1)·n/S) of the FULL bitreversed output.
+# ---------------------------------------------------------------------------
+
+
+def _fourstep_split(log_n: int, n_shards: int):
+    log_s = int(n_shards).bit_length() - 1
+    assert 1 << log_s == n_shards
+    log_n1 = max((log_n + 1) // 2, log_s)
+    log_n2 = log_n - log_n1
+    assert log_n2 >= log_s, "need n2 >= n_shards for the j2 transpose"
+    return log_n1, log_n2
+
+
+def fourstep_cross_twiddles(log_n: int, n_shards: int):
+    """Host (n1, n2) cross-twiddle table w[p1, j2] = ω^{bitrev(p1)·j2},
+    as (lo, hi) u32 arrays, to be fed sharded over axis 1 (j2)."""
+    from ..ntt.pallas_ntt import _fourstep_twiddles_host
+    log_n1, log_n2 = _fourstep_split(log_n, n_shards)
+    return _fourstep_twiddles_host(log_n1, log_n2)
+
+
+def coset_power_factors(log_n: int, n_shards: int, coset: int):
+    """coset^{j} factored as pj1[j1]·pj2[j2] (j = j1·n2 + j2): host u32-limb
+    pairs (pj1_lo, pj1_hi, pj2_lo, pj2_hi). Feed pj1 sharded over the axis."""
+    from ..utils import npgl
+    log_n1, log_n2 = _fourstep_split(log_n, n_shards)
+    pj2 = npgl.powers(coset, 1 << log_n2)
+    c_n2 = int(pow(coset, 1 << log_n2, npgl.ORDER))
+    pj1 = npgl.powers(c_n2, 1 << log_n1)
+
+    def limbs(a):
+        import numpy as np
+        return ((a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (a >> np.uint64(32)).astype(np.uint32))
+
+    return limbs(pj1) + limbs(pj2)
+
+
+def distributed_ntt(mesh: Mesh, log_n: int, batch: int):
+    """Jitted sharded forward NTT of one (n, B) column batch, natural
+    row-sharded input -> bitreversed row-sharded output.
+
+    Optionally scales the input by a factored coset power column
+    (pj1 sharded, pj2 replicated) so the same step does coset evals/LDE
+    legs. Pass all-ones arrays for a plain NTT.
+    """
+    n_shards = mesh.devices.size
+    log_n1, log_n2 = _fourstep_split(log_n, n_shards)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n1_loc, n2_loc = n1 // n_shards, n2 // n_shards
+    tw_lo, tw_hi = fourstep_cross_twiddles(log_n, n_shards)
+
+    def step(x_lo, x_hi, pj1_lo, pj1_hi, pj2_lo, pj2_hi):
+        def inner(lo, hi, p1l, p1h, p2l, p2h, twl, twh):
+            b = lo.shape[1]
+            x = GL(lo.reshape(n1_loc, n2, b), hi.reshape(n1_loc, n2, b))
+            # coset scaling: coset^{j1·n2+j2} = pj1[j1]·pj2[j2]
+            p1f = GL(p1l, p1h)[:, None, None]
+            p2f = GL(p2l, p2h)[None, :, None]
+            x = gl.mul(gl.mul(x, p1f), p2f)
+            # transpose 1: (n1_loc, S, n2_loc, b) -> (S, n1_loc, n2_loc, b)
+            xl = x.lo.reshape(n1_loc, n_shards, n2_loc, b)
+            xh = x.hi.reshape(n1_loc, n_shards, n2_loc, b)
+            xl = jax.lax.all_to_all(xl, AXIS, 1, 0, tiled=False)
+            xh = jax.lax.all_to_all(xh, AXIS, 1, 0, tiled=False)
+            a = GL(xl.reshape(n1, n2_loc * b), xh.reshape(n1, n2_loc * b))
+            # local pass 1: NTT_{n1} over j1 -> bitreversed p1 rows
+            a = ntt.ntt_cols(a, ntt.get_plan(log_n1))
+            a = a.reshape(n1, n2_loc, b)
+            # cross twiddles, j2-sharded slice handed in via in_specs
+            w = GL(twl[:, :, None], twh[:, :, None])
+            a = gl.mul(a, w)
+            # transpose 2: (S, n1_loc, n2_loc, b) -> (n1_loc, S, n2_loc, b)
+            al = a.lo.reshape(n_shards, n1_loc, n2_loc, b)
+            ah = a.hi.reshape(n_shards, n1_loc, n2_loc, b)
+            al = jax.lax.all_to_all(al, AXIS, 0, 1, tiled=False)
+            ah = jax.lax.all_to_all(ah, AXIS, 0, 1, tiled=False)
+            al = al.reshape(n1_loc, n2, b)
+            ah = ah.reshape(n1_loc, n2, b)
+            # local pass 2: NTT_{n2} over j2 for every local p1 row
+            bt = GL(jnp.swapaxes(al, 0, 1).reshape(n2, n1_loc * b),
+                    jnp.swapaxes(ah, 0, 1).reshape(n2, n1_loc * b))
+            bt = ntt.ntt_cols(bt, ntt.get_plan(log_n2))
+            bl = jnp.swapaxes(bt.lo.reshape(n2, n1_loc, b), 0, 1)
+            bh = jnp.swapaxes(bt.hi.reshape(n2, n1_loc, b), 0, 1)
+            return bl.reshape(n1_loc * n2, b), bh.reshape(n1_loc * n2, b)
+
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
+                      P(None, AXIS), P(None, AXIS)),
+            out_specs=(P(AXIS), P(AXIS)),
+            check_vma=False,
+        )(x_lo, x_hi, pj1_lo, pj1_hi, pj2_lo, pj2_hi,
+          jnp.asarray(tw_lo), jnp.asarray(tw_hi))
+
+    return jax.jit(step)
