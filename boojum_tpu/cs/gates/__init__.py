@@ -3,8 +3,11 @@
 from .arith import (  # noqa: F401
     FmaGateInExtension,
     MatrixMultiplicationGate,
+    SimpleNonlinearityGate,
     U32AddGate,
     U32SubGate,
+    U32TriAddCarryAsChunkGate,
+    U8x4FMAGate,
     UIntXAddGate,
 )
 from .base import Ext2Ops, GateEvaluator, GLOps, NpOps, TraceView  # noqa: F401

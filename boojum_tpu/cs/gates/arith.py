@@ -275,3 +275,254 @@ class FmaGateInExtension:
             "fma_ext", (q, l), [q[0], q[1], l[0], l[1]],
             np.stack(arrs + [d0, d1], axis=1))
         return d0, d1
+
+
+class SimpleNonlinearityEvaluator(GateEvaluator):
+    """(x + c)^N - y = 0 (reference
+    src/cs/gates/simple_non_linearity_with_constant.rs:100-126); width 2,
+    one row-shared additive constant."""
+
+    num_variables = 2
+    num_constants = 1
+    num_quotient_terms = 1
+
+    def __init__(self, n: int = 7):
+        self.n = n
+        self.name = f"simple_nonlinearity_{n}"
+        self.max_constraint_degree = n
+
+    def spec_params(self):
+        return self.n
+
+    def evaluate(self, src, ops):
+        x, y = src.var(0), src.var(1)
+        base = ops.add(x, src.const(0))
+        acc = None
+        e = self.n
+        sq = base
+        while e:
+            if e & 1:
+                acc = sq if acc is None else ops.mul(acc, sq)
+            e >>= 1
+            if e:
+                sq = ops.mul(sq, sq)
+        return [ops.sub(acc, y)]
+
+
+class SimpleNonlinearityGate:
+    N = 7
+
+    @classmethod
+    def make_evaluator(cls, n: int = None):
+        return SimpleNonlinearityEvaluator(n or cls.N)
+
+    @staticmethod
+    def init_tools(cs):
+        # vacant repetitions violate (0+c)^N != 0 -> fill partial rows with
+        # valid dummy instances (reference NonlinearityGateFinalizationHint,
+        # simple_non_linearity_with_constant.rs:140)
+        def cleanup(cs):
+            for name, idx in list(cs.general_idx_by_name.items()):
+                if not name.startswith("simple_nonlinearity_"):
+                    continue
+                ev = cs.evaluators_general[idx]
+                cap = ev.num_repetitions(cs.geometry)
+                tool = cs.tooling.get(name, {})
+                for key in list(tool):
+                    row, count = tool.pop(key)
+                    need = cap - count
+                    if need <= 0:
+                        continue
+                    c = key[0]
+                    y_val = pow(c, ev.n, npgl.ORDER)
+                    x_v = cs.alloc_variables_with_values(
+                        np.zeros(need, np.uint64))
+                    y_v = cs.alloc_variables_with_values(
+                        np.full(need, y_val, np.uint64))
+                    cols = (count + np.arange(need)) * ev.num_variables
+                    cs.copy_permutation_data[cols, row] = x_v
+                    cs.copy_permutation_data[cols + 1, row] = y_v
+
+        cs.row_cleanups.append(cleanup)
+
+    @classmethod
+    def apply_nonlinearity_batch(cls, cs, x, constant: int, n: int = None):
+        """y = (x + constant)^n elementwise over handle array x."""
+        n = n or cls.N
+        x = np.asarray(x, np.uint64).reshape(-1)
+        cnt = x.shape[0]
+        y = cs.alloc_variables(cnt)
+        c = int(constant) % npgl.ORDER
+
+        def fn(vals):
+            base = npgl.add(vals[0], np.full(cnt, c, np.uint64))
+            acc = None
+            e, sq = n, base
+            while e:
+                if e & 1:
+                    acc = sq if acc is None else npgl.mul(acc, sq)
+                e >>= 1
+                if e:
+                    sq = npgl.mul(sq, sq)
+            return acc[None]
+
+        cs.set_values_with_dependencies(x[None], y[None], fn)
+        cs.place_general_gate_batch(
+            f"simple_nonlinearity_{n}", (c,), [c], np.stack([x, y], axis=1))
+        return y
+
+
+class U32TriAddCarryEvaluator(GateEvaluator):
+    """Byte-chunked a + b + c = out + carry·2^32 (reference
+    src/cs/gates/u32_tri_add_carry_as_chunk.rs:105-178): all operands are
+    4 byte-limbs; carry in [0, 2] (range-checked by the caller)."""
+
+    name = "u32_tri_add_carry"
+    num_variables = 17
+    max_constraint_degree = 1
+    num_quotient_terms = 1
+
+    def evaluate(self, src, ops):
+        acc = ops.zero()
+        for operand in range(3):
+            for i in range(4):
+                acc = ops.add(acc, ops.mul(ops.from_int(1 << (8 * i)),
+                                           src.var(4 * operand + i)))
+        for i in range(4):
+            acc = ops.sub(acc, ops.mul(ops.from_int(1 << (8 * i)),
+                                       src.var(12 + i)))
+        acc = ops.sub(acc, ops.mul(ops.from_int(1 << 32), src.var(16)))
+        return [acc]
+
+
+class U32TriAddCarryAsChunkGate:
+    @staticmethod
+    def make_evaluator():
+        return U32TriAddCarryEvaluator()
+
+    @staticmethod
+    def add_batch(cs, a4, b4, c4):
+        """a4/b4/c4: (n, 4) byte-limb handles -> (out4 (n, 4), carry (n,)).
+        Byte-range checks on out are the caller's (carry needs a 2-bit
+        check; it is NOT boolean here — max value 2)."""
+        a4 = np.asarray(a4, np.uint64).reshape(-1, 4)
+        b4 = np.asarray(b4, np.uint64).reshape(-1, 4)
+        c4 = np.asarray(c4, np.uint64).reshape(-1, 4)
+        n = a4.shape[0]
+        out4 = cs.alloc_variables(4 * n).reshape(n, 4)
+        carry = cs.alloc_variables(n)
+
+        def fn(vals):
+            tot = np.zeros(n, np.uint64)
+            for operand in range(3):
+                for i in range(4):
+                    tot += vals[4 * operand + i] << np.uint64(8 * i)
+            outs = [(tot >> np.uint64(8 * i)) & np.uint64(0xFF)
+                    for i in range(4)]
+            outs.append(tot >> np.uint64(32))
+            return np.stack(outs)
+
+        ins = np.concatenate([a4.T, b4.T, c4.T])
+        cs.set_values_with_dependencies(
+            ins, np.concatenate([out4.T, carry[None]]), fn)
+        cs.place_general_gate_batch(
+            "u32_tri_add_carry", None, [],
+            np.concatenate([a4, b4, c4, out4, carry[:, None]], axis=1))
+        return out4, carry
+
+
+class U8x4FMAEvaluator(GateEvaluator):
+    """u32 FMA over byte limbs: a·b + c + carry_in = low + 2^32·high
+    enforced as two 0..32 / 32..64 bit-window identities with two 8-bit
+    product carries (reference src/cs/gates/u32_fma.rs:137-299)."""
+
+    name = "u8x4_fma"
+    num_variables = 26
+    max_constraint_degree = 2
+    num_quotient_terms = 2
+
+    def evaluate(self, src, ops):
+        a = [src.var(i) for i in range(4)]
+        b = [src.var(4 + i) for i in range(4)]
+        c = [src.var(8 + i) for i in range(4)]
+        cin = [src.var(12 + i) for i in range(4)]
+        low = [src.var(16 + i) for i in range(4)]
+        high = [src.var(20 + i) for i in range(4)]
+        pc0, pc1 = src.var(24), src.var(25)
+
+        def sh(k):
+            return ops.from_int(1 << k)
+
+        t1 = ops.zero()
+        for i in range(4):
+            t1 = ops.add(t1, ops.mul(sh(8 * i), ops.add(c[i], cin[i])))
+            t1 = ops.sub(t1, ops.mul(sh(8 * i), low[i]))
+        for k in range(4):  # mul columns 0..3 (bits 0..32)
+            col = ops.zero()
+            for i in range(k + 1):
+                col = ops.add(col, ops.mul(a[i], b[k - i]))
+            t1 = ops.add(t1, ops.mul(sh(8 * k), col))
+        t1 = ops.sub(t1, ops.mul(sh(32), pc0))
+        t1 = ops.sub(t1, ops.mul(sh(40), pc1))
+
+        t2 = ops.add(pc0, ops.mul(sh(8), pc1))
+        for i in range(4):
+            t2 = ops.sub(t2, ops.mul(sh(8 * i), high[i]))
+        for k in range(4, 7):  # mul columns 4..6 (bits 32..56)
+            col = ops.zero()
+            for i in range(k - 3, 4):
+                col = ops.add(col, ops.mul(a[i], b[k - i]))
+            t2 = ops.add(t2, ops.mul(sh(8 * (k - 4)), col))
+        return [t1, t2]
+
+
+class U8x4FMAGate:
+    @staticmethod
+    def make_evaluator():
+        return U8x4FMAEvaluator()
+
+    @staticmethod
+    def perform_fma_batch(cs, a4, b4, c4, cin4):
+        """(n,4) byte-limb handle arrays -> (low4, high4, pc2); byte range
+        checks on low/high and 8-bit checks on pc are the caller's
+        (reference perform_fma u32_fma.rs:450)."""
+        a4 = np.asarray(a4, np.uint64).reshape(-1, 4)
+        b4 = np.asarray(b4, np.uint64).reshape(-1, 4)
+        c4 = np.asarray(c4, np.uint64).reshape(-1, 4)
+        cin4 = np.asarray(cin4, np.uint64).reshape(-1, 4)
+        n = a4.shape[0]
+        low4 = cs.alloc_variables(4 * n).reshape(n, 4)
+        high4 = cs.alloc_variables(4 * n).reshape(n, 4)
+        pc2 = cs.alloc_variables(2 * n).reshape(n, 2)
+
+        def fn(vals):
+            def word(off):
+                w = np.zeros(n, np.uint64)
+                for i in range(4):
+                    w += vals[off + i] << np.uint64(8 * i)
+                return w
+
+            a, b, c, cin = word(0), word(4), word(8), word(12)
+            av = [vals[i] for i in range(4)]
+            bv = [vals[4 + i] for i in range(4)]
+            tmp = c + cin
+            for k in range(4):
+                col = np.zeros(n, np.uint64)
+                for i in range(k + 1):
+                    col += av[i] * bv[k - i]
+                tmp += col << np.uint64(8 * k)
+            pc = tmp >> np.uint64(32)
+            res_lo = a * b + c + cin  # u64 wrap-free: < 2^64
+            outs = [(res_lo >> np.uint64(8 * i)) & np.uint64(0xFF)
+                    for i in range(8)]
+            outs.append(pc & np.uint64(0xFF))
+            outs.append(pc >> np.uint64(8))
+            return np.stack(outs)
+
+        ins = np.concatenate([a4.T, b4.T, c4.T, cin4.T])
+        cs.set_values_with_dependencies(
+            ins, np.concatenate([low4.T, high4.T, pc2.T]), fn)
+        cs.place_general_gate_batch(
+            "u8x4_fma", None, [],
+            np.concatenate([a4, b4, c4, cin4, low4, high4, pc2], axis=1))
+        return low4, high4, pc2

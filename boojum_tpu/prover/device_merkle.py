@@ -1,0 +1,248 @@
+"""Single-dispatch device Merkle construction + device-resident FRI.
+
+Reference behavior: oracle construction (src/cs/oracle/merkle_tree.rs:78-176)
+and FRI folding (src/cs/implementations/fri/mod.rs:49,362). The reference
+parallelizes leaves over CPU threads; here the WHOLE tree (leaf sponge
+absorption + every node layer) is one traced XLA computation, so building an
+oracle costs one device dispatch and one host transfer instead of one
+dispatch per absorb-chunk per layer (which over the axon tunnel dominated
+the prover's wall clock).
+
+FRI folds likewise run on device: each schedule entry is one jitted call
+doing all k sub-folds, with the challenge/coset squaring chains precomputed
+host-side (tiny exact-int scalars) and fed in as (k, ...) tables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..field.goldilocks import GL, ORDER, MULTIPLICATIVE_GENERATOR
+from ..hash.merkle import AlgebraicMerkleTree
+from ..hash.poseidon2 import _permutation_stacked
+from ..ntt import ntt
+from ..utils import npgl
+
+RATE = 8
+CAP = 4
+
+
+def _leaf_hashes_traced(cols: GL) -> GL:
+    """cols (k, m) -> leaf hashes (4, m): rate-8 overwrite sponge."""
+    k, m = cols.shape
+    st = gl.zeros((12, m))
+    st_lo, st_hi = st.lo, st.hi
+    full, rem = divmod(k, RATE)
+    pos = 0
+    for _ in range(full):
+        st_lo = st_lo.at[:RATE].set(cols.lo[pos:pos + RATE])
+        st_hi = st_hi.at[:RATE].set(cols.hi[pos:pos + RATE])
+        out = _permutation_stacked(GL(st_lo, st_hi))
+        st_lo, st_hi = out.lo, out.hi
+        pos += RATE
+    if rem:
+        st_lo = st_lo.at[:rem].set(cols.lo[pos:pos + rem]).at[rem:RATE].set(0)
+        st_hi = st_hi.at[:rem].set(cols.hi[pos:pos + rem]).at[rem:RATE].set(0)
+        out = _permutation_stacked(GL(st_lo, st_hi))
+        st_lo, st_hi = out.lo, out.hi
+    return GL(st_lo[:CAP], st_hi[:CAP])
+
+
+def _node_layer_traced(cur: GL) -> GL:
+    """(4, m) -> (4, m/2): hash (left, right) sibling pairs."""
+    m = cur.lo.shape[1]
+    st = gl.zeros((12, m // 2))
+    st_lo = st.lo.at[:CAP].set(cur.lo[:, 0::2]).at[CAP:RATE].set(cur.lo[:, 1::2])
+    st_hi = st.hi.at[:CAP].set(cur.hi[:, 0::2]).at[CAP:RATE].set(cur.hi[:, 1::2])
+    out = _permutation_stacked(GL(st_lo, st_hi))
+    return GL(out.lo[:CAP], out.hi[:CAP])
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_jit(num_rows: int, m: int, cap_size: int):
+    """Jit building leaves + every node layer down to cap in ONE dispatch."""
+
+    def f(cols_lo, cols_hi):
+        leaves = _leaf_hashes_traced(GL(cols_lo, cols_hi))
+        outs = [leaves.lo, leaves.hi]
+        cur = leaves
+        while cur.lo.shape[1] > cap_size:
+            cur = _node_layer_traced(cur)
+            outs.extend((cur.lo, cur.hi))
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+def build_device_tree(cols: GL, cap_size: int) -> AlgebraicMerkleTree:
+    """Poseidon2 Merkle-cap tree of device leaf columns (k, m) in one
+    dispatch; layers land on host in one transfer for query paths."""
+    k, m = cols.shape
+    outs = _tree_jit(k, m, cap_size)(cols.lo, cols.hi)
+    host = jax.device_get(outs)
+    arrays = [np.asarray(h[0], np.uint64) | (np.asarray(h[1], np.uint64) << np.uint64(32))
+              for h in zip(host[0::2], host[1::2])]
+    return AlgebraicMerkleTree(arrays[0], arrays[1:], cap_size, "poseidon2")
+
+
+# ---------------------------------------------------------------------------
+# Device FRI
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_jit(size: int, k: int):
+    """k fold-by-2 steps over flat bitreversed ext arrays of length `size`.
+
+    chs: (k, 2, 2) u32 — challenge (c0, c1) per sub-fold (pre-squared chain);
+    cosets: (k, 2) u32 — coset_inv per sub-fold (pre-squared chain);
+    roots: inverse-twiddle table of the CURRENT domain (size/2 entries) —
+    its prefix serves every halved sub-domain.
+    """
+
+    def f(c0l, c0h, c1l, c1h, rl, rh, chs, cosets):
+        c0 = GL(c0l, c0h)
+        c1 = GL(c1l, c1h)
+        for j in range(k):
+            m = c0.lo.shape[0] // 2
+            fx0, fmx0 = c0[0::2], c0[1::2]
+            fx1, fmx1 = c1[0::2], c1[1::2]
+            tw = gl.mul(GL(rl[:m], rh[:m]),
+                        GL(cosets[j, 0][None], cosets[j, 1][None]))
+            d0 = gl.mul(gl.sub(fx0, fmx0), tw)
+            d1 = gl.mul(gl.sub(fx1, fmx1), tw)
+            # ext mul (d0 + d1·x)·(ch0 + ch1·x), x² = 7
+            e0 = GL(chs[j, 0, 0][None], chs[j, 0, 1][None])
+            e1 = GL(chs[j, 1, 0][None], chs[j, 1, 1][None])
+            v0 = gl.mul(d0, e0)
+            v1 = gl.mul(d1, e1)
+            m0 = gl.add(v0, gl.mul(v1, gl.from_u64(np.uint64(7))))
+            t = gl.mul(gl.add(d0, d1), gl.add(e0, e1))
+            m1 = gl.sub(gl.sub(t, v0), v1)
+            c0 = gl.add(gl.add(fx0, fmx0), m0)
+            c1 = gl.add(gl.add(fx1, fmx1), m1)
+        return c0.lo, c0.hi, c1.lo, c1.hi
+
+    return jax.jit(f)
+
+
+def _u32x2(x: int):
+    return np.array([x & 0xFFFFFFFF, x >> 32], np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fri_tree_jit(size: int, elems_per_leaf: int, cap_size: int):
+    """Tree over flat FRI layer (c0, c1): leaf i = [c0 chunk i .. c1 chunk i]."""
+    e = elems_per_leaf
+    tree_size = size // e
+
+    def f(c0l, c0h, c1l, c1h):
+        cols_lo = jnp.concatenate([c0l.reshape(tree_size, e).T,
+                                   c1l.reshape(tree_size, e).T], axis=0)
+        cols_hi = jnp.concatenate([c0h.reshape(tree_size, e).T,
+                                   c1h.reshape(tree_size, e).T], axis=0)
+        leaves = _leaf_hashes_traced(GL(cols_lo, cols_hi))
+        outs = [leaves.lo, leaves.hi]
+        cur = leaves
+        while cur.lo.shape[1] > cap_size:
+            cur = _node_layer_traced(cur)
+            outs.extend((cur.lo, cur.hi))
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
+                  cap_size: int, hasher: str):
+    """Device-resident do_fri: one tree dispatch + one fold dispatch per
+    schedule entry; bit-identical to fri.do_fri on the same input."""
+    from .fri import FriResult, _inverse_roots_bitreversed
+    from .oracles import FlatOracle
+
+    assert hasher == "poseidon2", "device FRI requires the poseidon2 hasher"
+    c0 = GL(h_a[0], h_a[1])
+    c1 = GL(h_a[2], h_a[3])
+    full_size = c0.lo.shape[0]
+    result = FriResult()
+
+    roots = _inverse_roots_bitreversed(full_size)
+    rl = jnp.asarray((roots & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    rh = jnp.asarray((roots >> np.uint64(32)).astype(np.uint32))
+    coset_inv = pow(int(MULTIPLICATIVE_GENERATOR), ORDER - 2, ORDER)
+
+    def commit(cur0, cur1, k):
+        size = cur0.lo.shape[0]
+        outs = _fri_tree_jit(size, 1 << k, cap_size)(cur0.lo, cur0.hi,
+                                                     cur1.lo, cur1.hi)
+        host = jax.device_get(tuple(outs) + (cur0.lo, cur0.hi,
+                                             cur1.lo, cur1.hi))
+        tree_raw, src_raw = host[:-4], host[-4:]
+        arrays = [np.asarray(l, np.uint64) |
+                  (np.asarray(h, np.uint64) << np.uint64(32))
+                  for l, h in zip(tree_raw[0::2], tree_raw[1::2])]
+        tree = AlgebraicMerkleTree(arrays[0], arrays[1:], cap_size,
+                                   "poseidon2")
+        s0 = np.asarray(src_raw[0], np.uint64) | \
+            (np.asarray(src_raw[1], np.uint64) << np.uint64(32))
+        s1 = np.asarray(src_raw[2], np.uint64) | \
+            (np.asarray(src_raw[3], np.uint64) << np.uint64(32))
+        return FlatOracle.from_parts([s0, s1], 1 << k, tree)
+
+    cur0, cur1 = c0, c1
+    for stage, k in enumerate(schedule):
+        oracle = commit(cur0, cur1, schedule[0] if stage == 0 else k)
+        transcript.witness_merkle_tree_cap(oracle.get_cap())
+        if stage == 0:
+            result.base_oracle = oracle
+        else:
+            result.intermediate_oracles.append(oracle)
+        ch0 = transcript.get_challenge()
+        ch1 = transcript.get_challenge()
+        chs = np.zeros((k, 2, 2), np.uint32)
+        cosets = np.zeros((k, 2), np.uint32)
+        c = (ch0, ch1)
+        ci = coset_inv
+        for j in range(k):
+            chs[j, 0] = _u32x2(c[0])
+            chs[j, 1] = _u32x2(c[1])
+            cosets[j] = _u32x2(ci)
+            ci = ci * ci % ORDER
+            # square the ext challenge: (a+bx)² = a²+7b² + 2ab·x
+            a, b = c
+            c = ((a * a + 7 * b * b) % ORDER, 2 * a * b % ORDER)
+        coset_inv = ci
+        size = cur0.lo.shape[0]
+        o0l, o0h, o1l, o1h = _fold_jit(size, k)(
+            cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh,
+            jnp.asarray(chs), jnp.asarray(cosets))
+        cur0, cur1 = GL(o0l, o0h), GL(o1l, o1h)
+        result.intermediate_sources.append(None)
+
+    # final interpolation on host (tiny)
+    host = jax.device_get((cur0.lo, cur0.hi, cur1.lo, cur1.hi))
+    f0 = np.asarray(host[0], np.uint64) | \
+        (np.asarray(host[1], np.uint64) << np.uint64(32))
+    f1 = np.asarray(host[2], np.uint64) | \
+        (np.asarray(host[3], np.uint64) << np.uint64(32))
+    m = f0.shape[0]
+    final_degree = m // lde_factor
+    coset = int(npgl.inv(np.uint64(coset_inv)))
+    plan = ntt.get_plan(m.bit_length() - 1)
+    mono0 = gl.to_u64(ntt.coset_intt_cols(gl.from_u64(f0).reshape(m, 1),
+                                          coset, plan)).reshape(m)
+    mono1 = gl.to_u64(ntt.coset_intt_cols(gl.from_u64(f1).reshape(m, 1),
+                                          coset, plan)).reshape(m)
+    mono0 = np.asarray(mono0)
+    mono1 = np.asarray(mono1)
+    assert not mono0[final_degree:].any(), "FRI final poly degree too high"
+    assert not mono1[final_degree:].any(), "FRI final poly degree too high"
+    transcript.witness_field_elements([int(x) for x in mono0[:final_degree]])
+    transcript.witness_field_elements([int(x) for x in mono1[:final_degree]])
+    result.monomial_forms = ([int(x) for x in mono0[:final_degree]],
+                             [int(x) for x in mono1[:final_degree]])
+    return result

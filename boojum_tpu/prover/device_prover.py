@@ -538,15 +538,19 @@ class DeviceProver:
             vals = [(value, 0) for (_, value) in subset]
             quotening(srcs, vals, (open_at, 0))
 
-        h_host = h.to_host()
-
         _stage("DEEP")
         # -- FRI + PoW + queries ----------------------------------------------
         new_pow_bits, num_queries, schedule, _fd = compute_fri_schedule(
             cfg.security_level, cap_size, cfg.pow_bits,
             fri_lde.bit_length() - 1, n.bit_length() - 1)
-        fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,
-                            fri_lde, cap_size, hasher)
+        if hasher == "poseidon2":
+            from .device_merkle import do_fri_device
+            fri_result = do_fri_device(h.a, transcript, schedule,
+                                       fri_lde, cap_size, hasher)
+        else:
+            h_host = h.to_host()
+            fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,
+                                fri_lde, cap_size, hasher)
 
         pow_challenge = 0
         if new_pow_bits > 0:

@@ -88,6 +88,15 @@ class FlatOracle:
             [s.reshape(tree_size, elems_per_leaf).T for s in sources], axis=0)
         self.tree = build_tree(cols, cap_size, hasher)
 
+    @classmethod
+    def from_parts(cls, sources, elems_per_leaf: int, tree):
+        """Wrap an already-built tree (device FRI path)."""
+        self = cls.__new__(cls)
+        self.sources = sources
+        self.elems_per_leaf = elems_per_leaf
+        self.tree = tree
+        return self
+
     def get_cap(self):
         return self.tree.get_cap()
 
@@ -127,8 +136,12 @@ class DeviceOracle:
             "device oracles require an algebraic hasher"
         tree_rows = self.flat[: self.tree_lde * self.n]
         leaf_cols = gl.GL(tree_rows.lo.T, tree_rows.hi.T)
-        self.tree = AlgebraicMerkleTree.from_leaf_columns(
-            leaf_cols, cap_size, hasher)
+        if hasher == "poseidon2":
+            from .device_merkle import build_device_tree
+            self.tree = build_device_tree(leaf_cols, cap_size)
+        else:
+            self.tree = AlgebraicMerkleTree.from_leaf_columns(
+                leaf_cols, cap_size, hasher)
 
     def get_cap(self):
         return self.tree.get_cap()

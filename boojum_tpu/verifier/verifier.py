@@ -56,6 +56,9 @@ def _registry():
         "u32_sub": lambda n: ga.U32SubEvaluator(),
         "uintx_add": ga.UIntXAddEvaluator,
         "fma_ext": lambda n: ga.FmaExtEvaluator(),
+        "simple_nonlinearity": ga.SimpleNonlinearityEvaluator,
+        "u32_tri_add_carry": lambda n: ga.U32TriAddCarryEvaluator(),
+        "u8x4_fma": lambda n: ga.U8x4FMAEvaluator(),
     }
 
 

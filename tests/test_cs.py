@@ -233,3 +233,65 @@ def test_fma_ext_gate():
         assert got == want, i
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+def test_new_arith_gates():
+    """SimpleNonlinearity, U32TriAddCarryAsChunk, U8x4FMA: satisfiability +
+    witness semantics + mutation rejection."""
+    from boojum_tpu.cs.gates import (SimpleNonlinearityGate,
+                                     U32TriAddCarryAsChunkGate, U8x4FMAGate)
+
+    P = (1 << 64) - (1 << 32) + 1
+    rng = np.random.default_rng(17)
+    cs = ConstraintSystem(
+        CSGeometry(num_columns_under_copy_permutation=32,
+                   num_witness_columns=0, num_constant_columns=4,
+                   max_allowed_constraint_degree=8),
+        256, CSConfig.dev())
+    cs.allow_gate(ConstantsAllocatorGate)
+    cs.allow_gate(NopGate)
+    cs.allow_gate(SimpleNonlinearityGate, params=7)
+    cs.allow_gate(U32TriAddCarryAsChunkGate)
+    cs.allow_gate(U8x4FMAGate)
+
+    # nonlinearity: y = (x + 3)^7
+    xs_vals = rng.integers(0, P, 5, dtype=np.uint64)
+    xs = cs.alloc_variables_with_values(xs_vals)
+    ys = SimpleNonlinearityGate.apply_nonlinearity_batch(cs, xs, 3, 7)
+    for xv, yh in zip(xs_vals, ys):
+        assert cs.get_value(yh) == pow((int(xv) + 3) % P, 7, P)
+
+    # tri-add: bytes of a + b + c
+    def alloc_bytes(words):
+        limbs = np.stack([(words >> np.uint64(8 * i)) & np.uint64(0xFF)
+                          for i in range(4)], axis=1)
+        return cs.alloc_variables_with_values(limbs.reshape(-1)).reshape(-1, 4)
+
+    aw = rng.integers(0, 1 << 32, 6, dtype=np.uint64)
+    bw = rng.integers(0, 1 << 32, 6, dtype=np.uint64)
+    cw = rng.integers(0, 1 << 32, 6, dtype=np.uint64)
+    out4, carry = U32TriAddCarryAsChunkGate.add_batch(
+        cs, alloc_bytes(aw), alloc_bytes(bw), alloc_bytes(cw))
+    for i in range(6):
+        tot = int(aw[i]) + int(bw[i]) + int(cw[i])
+        got = sum(cs.get_value(out4[i, j]) << (8 * j) for j in range(4))
+        assert got == tot & 0xFFFFFFFF
+        assert cs.get_value(carry[i]) == tot >> 32
+
+    # u8x4 fma: a*b + c + cin = low + 2^32 high
+    cin_w = rng.integers(0, 1 << 32, 6, dtype=np.uint64)
+    low4, high4, pc2 = U8x4FMAGate.perform_fma_batch(
+        cs, alloc_bytes(aw), alloc_bytes(bw), alloc_bytes(cw),
+        alloc_bytes(cin_w))
+    for i in range(6):
+        res = int(aw[i]) * int(bw[i]) + int(cw[i]) + int(cin_w[i])
+        lo = sum(cs.get_value(low4[i, j]) << (8 * j) for j in range(4))
+        hi = sum(cs.get_value(high4[i, j]) << (8 * j) for j in range(4))
+        assert lo == res & 0xFFFFFFFF and hi == res >> 32
+
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+    # mutation: corrupt one low byte
+    cs.resolver.values[low4[0, 0]] = (cs.get_value(low4[0, 0]) + 1) % P
+    assert not cs.check_if_satisfied(verbose=False)
