@@ -246,3 +246,98 @@ class UInt64:
 
     def get_witness(self) -> int:
         return self.low.get_witness() | (self.high.get_witness() << 32)
+
+
+class _MultiLimbUInt:
+    """Wide unsigned ints as little-endian u32-limb vectors (reference
+    src/gadgets/u160 u256 u512 — limbed big-uints with ripple-carry
+    add/sub via U32Add/U32Sub gates and limbwise select)."""
+
+    NUM_LIMBS = 0
+
+    def __init__(self, cs: ConstraintSystem, limbs: list):
+        assert len(limbs) == self.NUM_LIMBS
+        self.cs = cs
+        self.limbs = limbs  # list[UInt32]
+
+    @classmethod
+    def allocate_checked(cls, cs, value: int, table_ids: dict = None):
+        limbs = [UInt32.allocate_checked(cs, (value >> (32 * i)) & 0xFFFFFFFF,
+                                         table_ids)
+                 for i in range(cls.NUM_LIMBS)]
+        return cls(cs, limbs)
+
+    @classmethod
+    def allocate_constant(cls, cs, value: int):
+        return cls(cs, [UInt32.allocate_constant(
+            cs, (value >> (32 * i)) & 0xFFFFFFFF)
+            for i in range(cls.NUM_LIMBS)])
+
+    @classmethod
+    def zero(cls, cs):
+        return cls.allocate_constant(cs, 0)
+
+    def add(self, other):
+        """Ripple-carry add; returns (result, overflow Boolean)."""
+        from ..cs.gates.arith import U32AddGate
+        cs = self.cs
+        out = []
+        carry = None
+        for a, b in zip(self.limbs, other.limbs):
+            cvars, couts = U32AddGate.add_batch(
+                cs, [a.variable], [b.variable],
+                None if carry is None else [carry])
+            out.append(UInt32(cs, int(cvars[0])))
+            carry = int(couts[0])
+        return type(self)(cs, out), Boolean(cs, carry)
+
+    def sub(self, other):
+        """Ripple-borrow sub; returns (result, borrow Boolean)."""
+        from ..cs.gates.arith import U32SubGate
+        cs = self.cs
+        out = []
+        borrow = None
+        for a, b in zip(self.limbs, other.limbs):
+            cvars, bouts = U32SubGate.sub_batch(
+                cs, [a.variable], [b.variable],
+                None if borrow is None else [borrow])
+            out.append(UInt32(cs, int(cvars[0])))
+            borrow = int(bouts[0])
+        return type(self)(cs, out), Boolean(cs, borrow)
+
+    def select(self, flag: "Boolean", other):
+        """self if flag else other, limbwise."""
+        from ..cs.gates import SelectionGate
+        cs = self.cs
+        a = [l.variable for l in self.limbs]
+        b = [l.variable for l in other.limbs]
+        sel = SelectionGate.select_batch(
+            cs, np.asarray(a, np.uint64), np.asarray(b, np.uint64),
+            np.full(self.NUM_LIMBS, flag.variable, np.uint64))
+        return type(self)(cs, [UInt32(cs, int(v)) for v in sel])
+
+    def is_zero(self) -> "Boolean":
+        from .num import CircuitOps
+        ops = CircuitOps(self.cs)
+        acc = None
+        for l in self.limbs:
+            acc = l.variable if acc is None else \
+                ops.add(acc, l.variable)  # sum < p for <= 16 limbs
+        flag = Num(self.cs, acc).is_zero()
+        return flag
+
+    def get_witness(self) -> int:
+        return sum(l.get_witness() << (32 * i)
+                   for i, l in enumerate(self.limbs))
+
+
+class UInt160(_MultiLimbUInt):
+    NUM_LIMBS = 5
+
+
+class UInt256(_MultiLimbUInt):
+    NUM_LIMBS = 8
+
+
+class UInt512(_MultiLimbUInt):
+    NUM_LIMBS = 16

@@ -189,3 +189,13 @@ def test_device_prover_matches_host():
     dev_proof = dp.prove("poseidon2", "poseidon2")
     assert verify(dev_art.vk, dev_proof, "poseidon2", "poseidon2")
     assert proof_to_json(host_proof) == proof_to_json(dev_proof)
+
+
+def test_prove_one_shot_convenience():
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    cs = build_small_circuit()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4),
+        "poseidon2", "poseidon2")
+    assert verify_circuit(vk, proof, "poseidon2", "poseidon2")

@@ -6,7 +6,7 @@ import numpy as np
 from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters
 from boojum_tpu.cs.gates import (BooleanConstraintGate, ConstantsAllocatorGate,
                                  FmaGate, NopGate, ReductionGate, SelectionGate,
-                                 ZeroCheckGate, U32AddGate)
+                                 ZeroCheckGate, U32AddGate, U32SubGate)
 from boojum_tpu.gadgets import sha256 as sha_mod
 from boojum_tpu.gadgets.poseidon2_circuit import allow_poseidon2_gates
 from boojum_tpu.gadgets.queue import CircuitQueue
@@ -22,7 +22,7 @@ def make_cs(with_tables=True, max_trace=1 << 14):
         cs.allow_lookup(LookupParameters.specialized_with_table_id_as_constant(
             width=4, num_repetitions=8, share_table_id=True))
     for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
-              SelectionGate, ZeroCheckGate, U32AddGate):
+              SelectionGate, ZeroCheckGate, U32AddGate, U32SubGate):
         cs.allow_gate(g)
     cs.allow_gate(ReductionGate, params=4)
     allow_poseidon2_gates(cs)
@@ -92,5 +92,31 @@ def test_circuit_queue():
         popped.append([cs.get_value(v) for v in q.pop()])
     assert popped == items
     q.enforce_consistency()
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_multilimb_uints():
+    from boojum_tpu.gadgets.wrappers import UInt160, UInt256, UInt512
+
+    cs, tids = make_cs()
+    a_val = 0xDEADBEEF_12345678_9ABCDEF0_13579BDF_2468ACE0
+    b_val = 0x1111111F_FFFFFFFF_00000001_FFFFFFFF_FFFFFFFF
+    a = UInt160.allocate_checked(cs, a_val, tids)
+    b = UInt160.allocate_checked(cs, b_val, tids)
+    s, ovf = a.add(b)
+    assert s.get_witness() == (a_val + b_val) % (1 << 160)
+    assert ovf.get_witness() is ((a_val + b_val) >> 160 > 0)
+    d, brw = a.sub(b)
+    assert d.get_witness() == (a_val - b_val) % (1 << 160)
+    assert brw.get_witness() is (a_val < b_val)
+    t = Boolean.allocate(cs, True)
+    assert a.select(t, b).get_witness() == a_val
+    assert a.select(t.not_(), b).get_witness() == b_val
+    assert not a.is_zero().get_witness()
+    z = UInt256.allocate_checked(cs, 0, tids)
+    assert z.is_zero().get_witness()
+    w = UInt512.allocate_checked(cs, (1 << 511) | 7, tids)
+    assert w.get_witness() == (1 << 511) | 7
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
