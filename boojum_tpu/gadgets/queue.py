@@ -60,3 +60,53 @@ class CircuitQueue:
         assert self.length == 0, "queue must be empty"
         for a, b in zip(self.head, self.tail):
             self.ops.enforce_equal(a, b)
+
+
+class FullStateCircuitQueue:
+    """Queue whose chain state is the FULL 12-wide sponge state (reference
+    src/gadgets/queue/full_state_queue.rs:20-116): push overwrites the rate
+    with the element and permutes; the capacity section threads the chain.
+    Used where the state doubles as a running commitment (recursion queues).
+    """
+
+    STATE_WIDTH = 12
+    RATE = 8
+
+    def __init__(self, cs: ConstraintSystem, ops: CircuitOps = None,
+                 element_width: int = 8):
+        assert element_width <= self.RATE
+        self.cs = cs
+        self.ops = ops or CircuitOps(cs)
+        self.p2 = Poseidon2Circuit(cs, self.ops)
+        self.element_width = element_width
+        zero = self.ops.from_int(0)
+        self.head = [zero] * self.STATE_WIDTH
+        self.tail = [zero] * self.STATE_WIDTH
+        self.length = 0
+        self._witness_log: list[list[int]] = []
+
+    def _advance(self, state: list, values: list) -> list:
+        zero = self.ops.from_int(0)
+        block = list(values) + [zero] * (self.RATE - len(values))
+        return self.p2.permutation(block + state[self.RATE:])
+
+    def push(self, values: list):
+        assert len(values) == self.element_width
+        self.tail = self._advance(self.tail, values)
+        self._witness_log.append([self.cs.get_value(v) for v in values]
+                                 if self.cs.resolver is not None else [])
+        self.length += 1
+
+    def pop(self) -> list:
+        assert self.length > 0
+        vals = self._witness_log.pop(0) if self._witness_log else \
+            [0] * self.element_width
+        out = [self.cs.alloc_variable_with_value(v) for v in vals]
+        self.head = self._advance(self.head, out)
+        self.length -= 1
+        return out
+
+    def enforce_consistency(self):
+        assert self.length == 0, "queue must be empty"
+        for a, b in zip(self.head, self.tail):
+            self.ops.enforce_equal(a, b)

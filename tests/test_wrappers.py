@@ -120,3 +120,22 @@ def test_multilimb_uints():
     assert w.get_witness() == (1 << 511) | 7
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+def test_full_state_circuit_queue():
+    from boojum_tpu.gadgets.queue import FullStateCircuitQueue
+
+    cs, _ = make_cs(with_tables=False)
+    q = FullStateCircuitQueue(cs, element_width=8)
+    P = (1 << 64) - (1 << 32) + 1
+    items = [[int(x) for x in RNG.integers(0, P, 8, dtype=np.uint64)]
+             for _ in range(3)]
+    for it in items:
+        q.push([cs.alloc_variable_with_value(v) for v in it])
+    popped = []
+    while q.length:
+        popped.append([cs.get_value(v) for v in q.pop()])
+    assert popped == items
+    q.enforce_consistency()
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
