@@ -131,3 +131,78 @@ def _enforce_nn_equal(a: NonNativeField, b: NonNativeField):
     ops = CircuitOps(a.cs)
     for la, lb in zip(a.limbs, b.limbs):
         ops.enforce_equal(la, lb)
+
+
+# -- host-side affine arithmetic (exact ints; for constants/corrections) ----
+
+
+def host_ec_add(p1, p2, a: int, M: int):
+    """Affine add on y² = x³ + a·x + b over F_M; None = infinity."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if (y1 + y2) % M == 0:
+            return None
+        s = (3 * x1 * x1 + a) * pow(2 * y1, M - 2, M) % M
+    else:
+        s = (y2 - y1) * pow(x2 - x1, M - 2, M) % M
+    x3 = (s * s - x1 - x2) % M
+    return (x3, (s * (x1 - x3) - y1) % M)
+
+
+def host_ec_mul(pt, k: int, a: int, M: int):
+    acc = None
+    while k:
+        if k & 1:
+            acc = host_ec_add(acc, pt, a, M)
+        pt = host_ec_add(pt, pt, a, M)
+        k >>= 1
+    return acc
+
+
+class SWAffinePointExt(SWAffinePoint):
+    """SWAffinePoint + scalar multiplication via blinded double-and-add.
+
+    Reference behavior: sw_projective scalar ladder. Affine model: the
+    accumulator starts at a caller-supplied constant blinding point B (so no
+    intermediate hits infinity for honest witnesses), runs MSB-first
+    double-and-add with limbwise point selects, and subtracts 2^n·B (host
+    precomputed constant) at the end. add_unequal's witness-inverse makes
+    any x-collision unprovable rather than unsound."""
+
+    def select_point(self, flag_var, other: "SWAffinePoint") -> "SWAffinePointExt":
+        x = NonNativeField.select(flag_var, self.x, other.x)
+        y = NonNativeField.select(flag_var, self.y, other.y)
+        return SWAffinePointExt(x, y, self.a, self.b)
+
+    def mul_by_scalar_bits(self, bits: list, blind_xy: tuple) -> "SWAffinePointExt":
+        """bits: scalar bit variables, LSB first (each boolean-constrained by
+        the caller); blind_xy: host (x, y) of the blinding point B."""
+        cs = self._cs()
+        params = self._params()
+        M = params.modulus
+        n = len(bits)
+        acc = SWAffinePointExt(
+            NonNativeField.constant(cs, params, blind_xy[0], self.x.table_ids),
+            NonNativeField.constant(cs, params, blind_xy[1], self.x.table_ids),
+            self.a, self.b)
+        base = SWAffinePointExt(self.x, self.y, self.a, self.b)
+        for bit in reversed(bits):
+            acc = SWAffinePointExt(*_pt(acc.double()), self.a, self.b)
+            added = SWAffinePointExt(*_pt(acc.add_unequal(base)), self.a, self.b)
+            acc = added.select_point(bit, acc)
+        corr = host_ec_mul(blind_xy, 1 << n, self.a, M)
+        corr_neg = (corr[0], (-corr[1]) % M)
+        corr_pt = SWAffinePointExt(
+            NonNativeField.constant(cs, params, corr_neg[0], self.x.table_ids),
+            NonNativeField.constant(cs, params, corr_neg[1], self.x.table_ids),
+            self.a, self.b)
+        return SWAffinePointExt(*_pt(acc.add_unequal(corr_pt)), self.a, self.b)
+
+
+def _pt(p: SWAffinePoint):
+    return (p.x, p.y)

@@ -217,3 +217,13 @@ class NonNativeField:
             hosts.append(host)
         self._column_chain(columns, hosts, carry_bits=4, offset_pow=20)
         return NonNativeField(cs, params, r_limbs, self.table_ids)
+
+    @staticmethod
+    def select(flag_var, a: "NonNativeField", b: "NonNativeField"):
+        """flag ? a : b, limbwise (SelectionGate)."""
+        from ..cs.gates import SelectionGate
+        cs = a.cs
+        sel = SelectionGate.select_batch(
+            cs, np.asarray(a.limbs, np.uint64), np.asarray(b.limbs, np.uint64),
+            np.full(len(a.limbs), flag_var, np.uint64))
+        return NonNativeField(cs, a.params, [int(v) for v in sel], a.table_ids)

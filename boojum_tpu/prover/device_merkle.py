@@ -33,23 +33,31 @@ CAP = 4
 
 
 def _leaf_hashes_traced(cols: GL) -> GL:
-    """cols (k, m) -> leaf hashes (4, m): rate-8 overwrite sponge."""
+    """cols (k, m), k a multiple of 8 (caller pads) -> leaf hashes (4, m).
+
+    The absorb loop over k/8 rate blocks is a lax.fori_loop, so the traced
+    graph holds ONE permutation body regardless of column count — compile
+    time stays flat for wide traces (the unrolled form stalled XLA for many
+    minutes at 132+ columns)."""
     k, m = cols.shape
+    assert k % RATE == 0
+    nblocks = k // RATE
+    blocks_lo = cols.lo.reshape(nblocks, RATE, m)
+    blocks_hi = cols.hi.reshape(nblocks, RATE, m)
+
+    def body(i, st):
+        st_lo, st_hi = st
+        st_lo = jax.lax.dynamic_update_slice(
+            st_lo, jax.lax.dynamic_index_in_dim(blocks_lo, i, keepdims=False),
+            (0, 0))
+        st_hi = jax.lax.dynamic_update_slice(
+            st_hi, jax.lax.dynamic_index_in_dim(blocks_hi, i, keepdims=False),
+            (0, 0))
+        out = _permutation_stacked(GL(st_lo, st_hi))
+        return (out.lo, out.hi)
+
     st = gl.zeros((12, m))
-    st_lo, st_hi = st.lo, st.hi
-    full, rem = divmod(k, RATE)
-    pos = 0
-    for _ in range(full):
-        st_lo = st_lo.at[:RATE].set(cols.lo[pos:pos + RATE])
-        st_hi = st_hi.at[:RATE].set(cols.hi[pos:pos + RATE])
-        out = _permutation_stacked(GL(st_lo, st_hi))
-        st_lo, st_hi = out.lo, out.hi
-        pos += RATE
-    if rem:
-        st_lo = st_lo.at[:rem].set(cols.lo[pos:pos + rem]).at[rem:RATE].set(0)
-        st_hi = st_hi.at[:rem].set(cols.hi[pos:pos + rem]).at[rem:RATE].set(0)
-        out = _permutation_stacked(GL(st_lo, st_hi))
-        st_lo, st_hi = out.lo, out.hi
+    st_lo, st_hi = jax.lax.fori_loop(0, nblocks, body, (st.lo, st.hi))
     return GL(st_lo[:CAP], st_hi[:CAP])
 
 
@@ -64,30 +72,58 @@ def _node_layer_traced(cur: GL) -> GL:
 
 
 @functools.lru_cache(maxsize=None)
-def _tree_jit(num_rows: int, m: int, cap_size: int):
-    """Jit building leaves + every node layer down to cap in ONE dispatch."""
-
+def _leaf_jit(k_padded: int, m: int):
     def f(cols_lo, cols_hi):
         leaves = _leaf_hashes_traced(GL(cols_lo, cols_hi))
-        outs = [leaves.lo, leaves.hi]
-        cur = leaves
-        while cur.lo.shape[1] > cap_size:
-            cur = _node_layer_traced(cur)
-            outs.extend((cur.lo, cur.hi))
-        return tuple(outs)
+        return leaves.lo, leaves.hi
 
     return jax.jit(f)
 
 
-def build_device_tree(cols: GL, cap_size: int) -> AlgebraicMerkleTree:
-    """Poseidon2 Merkle-cap tree of device leaf columns (k, m) in one
-    dispatch; layers land on host in one transfer for query paths."""
+@functools.lru_cache(maxsize=None)
+def _node_jit(m: int):
+    """One node layer (4, m) -> (4, m/2); shared across every oracle and FRI
+    stage with the same layer size (power-of-two sizes repeat heavily)."""
+
+    def f(lo, hi):
+        out = _node_layer_traced(GL(lo, hi))
+        return out.lo, out.hi
+
+    return jax.jit(f)
+
+
+def _pad_cols_to_rate(cols: GL):
     k, m = cols.shape
-    outs = _tree_jit(k, m, cap_size)(cols.lo, cols.hi)
-    host = jax.device_get(outs)
-    arrays = [np.asarray(h[0], np.uint64) | (np.asarray(h[1], np.uint64) << np.uint64(32))
-              for h in zip(host[0::2], host[1::2])]
+    pad = (-k) % RATE
+    if pad:
+        lo = jnp.concatenate([cols.lo, jnp.zeros((pad, m), jnp.uint32)])
+        hi = jnp.concatenate([cols.hi, jnp.zeros((pad, m), jnp.uint32)])
+        return GL(lo, hi)
+    return cols
+
+
+def _tree_from_leaf_cols(cols: GL, cap_size: int) -> AlgebraicMerkleTree:
+    cols = _pad_cols_to_rate(cols)
+    k, m = cols.shape
+    lo, hi = _leaf_jit(k, m)(cols.lo, cols.hi)
+    outs = [lo, hi]
+    cur_m = m
+    while cur_m > cap_size:
+        lo, hi = _node_jit(cur_m)(lo, hi)
+        outs.extend((lo, hi))
+        cur_m //= 2
+    host = jax.device_get(tuple(outs))
+    arrays = [np.asarray(l, np.uint64) |
+              (np.asarray(h, np.uint64) << np.uint64(32))
+              for l, h in zip(host[0::2], host[1::2])]
     return AlgebraicMerkleTree(arrays[0], arrays[1:], cap_size, "poseidon2")
+
+
+def build_device_tree(cols: GL, cap_size: int) -> AlgebraicMerkleTree:
+    """Poseidon2 Merkle-cap tree of device leaf columns (k, m): one rolled
+    leaf-hash dispatch + one small dispatch per node layer (jits shared by
+    size), with all layers landing on host in a single transfer."""
+    return _tree_from_leaf_cols(cols, cap_size)
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +172,9 @@ def _u32x2(x: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _fri_tree_jit(size: int, elems_per_leaf: int, cap_size: int):
-    """Tree over flat FRI layer (c0, c1): leaf i = [c0 chunk i .. c1 chunk i]."""
+def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
+    """Reshape flat FRI layer (c0, c1) into leaf columns (2e, tree_size):
+    leaf i = [c0 chunk i .. c1 chunk i]."""
     e = elems_per_leaf
     tree_size = size // e
 
@@ -146,13 +183,7 @@ def _fri_tree_jit(size: int, elems_per_leaf: int, cap_size: int):
                                    c1l.reshape(tree_size, e).T], axis=0)
         cols_hi = jnp.concatenate([c0h.reshape(tree_size, e).T,
                                    c1h.reshape(tree_size, e).T], axis=0)
-        leaves = _leaf_hashes_traced(GL(cols_lo, cols_hi))
-        outs = [leaves.lo, leaves.hi]
-        cur = leaves
-        while cur.lo.shape[1] > cap_size:
-            cur = _node_layer_traced(cur)
-            outs.extend((cur.lo, cur.hi))
-        return tuple(outs)
+        return cols_lo, cols_hi
 
     return jax.jit(f)
 
@@ -177,16 +208,10 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
 
     def commit(cur0, cur1, k):
         size = cur0.lo.shape[0]
-        outs = _fri_tree_jit(size, 1 << k, cap_size)(cur0.lo, cur0.hi,
-                                                     cur1.lo, cur1.hi)
-        host = jax.device_get(tuple(outs) + (cur0.lo, cur0.hi,
-                                             cur1.lo, cur1.hi))
-        tree_raw, src_raw = host[:-4], host[-4:]
-        arrays = [np.asarray(l, np.uint64) |
-                  (np.asarray(h, np.uint64) << np.uint64(32))
-                  for l, h in zip(tree_raw[0::2], tree_raw[1::2])]
-        tree = AlgebraicMerkleTree(arrays[0], arrays[1:], cap_size,
-                                   "poseidon2")
+        cl, ch = _fri_leaf_cols_jit(size, 1 << k)(cur0.lo, cur0.hi,
+                                                  cur1.lo, cur1.hi)
+        tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
+        src_raw = jax.device_get((cur0.lo, cur0.hi, cur1.lo, cur1.hi))
         s0 = np.asarray(src_raw[0], np.uint64) | \
             (np.asarray(src_raw[1], np.uint64) << np.uint64(32))
         s1 = np.asarray(src_raw[2], np.uint64) | \

@@ -52,3 +52,37 @@ def test_secp256k1_point_ops():
     assert (G3.x.get_witness(), G3.y.get_witness()) == (G3x, G3y)
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_curve_scalar_mul():
+    """8-bit blinded double-and-add on secp256k1, checked against exact
+    host EC arithmetic (marked slow: ~1 min of synthesis)."""
+    from boojum_tpu.gadgets.curves import SWAffinePointExt, host_ec_mul
+    from boojum_tpu.cs.gates import BooleanConstraintGate
+
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 17)
+    # secp256k1 parameters
+    M = 2**256 - 2**32 - 977
+    A, B = 0, 7
+    gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    params = NonNativeParams.for_modulus(M)
+    k = 0xB7  # 8-bit scalar
+    bits = [(k >> i) & 1 for i in range(8)]
+    bit_vars = BooleanConstraintGate.allocate_batch(cs, bits)
+
+    base = SWAffinePointExt(
+        NonNativeField.allocate_checked(cs, params, gx),
+        NonNativeField.allocate_checked(cs, params, gy), A, B)
+    blind = host_ec_mul((gx, gy), 0xDEADBEEF, A, M)
+    out = base.mul_by_scalar_bits([int(b) for b in bit_vars], blind)
+
+    want = host_ec_mul((gx, gy), k, A, M)
+    assert out.x.get_witness() == want[0]
+    assert out.y.get_witness() == want[1]
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
