@@ -11,6 +11,7 @@ from .arith import (  # noqa: F401
     UIntXAddGate,
 )
 from .base import Ext2Ops, GateEvaluator, GLOps, NpOps, TraceView  # noqa: F401
+from .poseidon2_gate import Poseidon2FlattenedGate  # noqa: F401
 from .simple import (  # noqa: F401
     BooleanConstraintGate,
     ConditionalSwapGate,

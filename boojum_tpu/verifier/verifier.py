@@ -35,6 +35,11 @@ E_ZERO = (0, 0)
 E_ONE = (1, 0)
 
 
+def _p2flat():
+    from ..cs.gates.poseidon2_gate import Poseidon2FlattenedEvaluator
+    return Poseidon2FlattenedEvaluator()
+
+
 def _registry():
     from ..cs.gates import arith as ga
     from ..cs.gates import simple as g
@@ -59,6 +64,7 @@ def _registry():
         "simple_nonlinearity": ga.SimpleNonlinearityEvaluator,
         "u32_tri_add_carry": lambda n: ga.U32TriAddCarryEvaluator(),
         "u8x4_fma": lambda n: ga.U8x4FMAEvaluator(),
+        "poseidon2_flattened": lambda n: _p2flat(),
     }
 
 

@@ -295,3 +295,35 @@ def test_new_arith_gates():
     # mutation: corrupt one low byte
     cs.resolver.values[low4[0, 0]] = (cs.get_value(low4[0, 0]) + 1) % P
     assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_poseidon2_flattened_gate():
+    """One-instance-per-permutation gate vs the exact scalar permutation,
+    plus prove->verify and mutation rejection."""
+    from boojum_tpu.cs.gates import Poseidon2FlattenedGate
+    from boojum_tpu.hash.poseidon2 import s_permutation
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    rng = np.random.default_rng(23)
+    cs = ConstraintSystem(
+        CSGeometry(num_columns_under_copy_permutation=130,
+                   num_witness_columns=0, num_constant_columns=4,
+                   max_allowed_constraint_degree=8),
+        64, CSConfig.dev())
+    cs.allow_gate(ConstantsAllocatorGate)
+    cs.allow_gate(NopGate)
+    cs.allow_gate(Poseidon2FlattenedGate)
+    states = rng.integers(0, P, (3, 12), dtype=np.uint64)
+    in_vars = cs.alloc_variables_with_values(states.reshape(-1)).reshape(3, 12)
+    out_vars = Poseidon2FlattenedGate.compute_round_function_batch(cs, in_vars)
+    for i in range(3):
+        want = s_permutation([int(x) for x in states[i]])
+        got = [cs.get_value(int(v)) for v in out_vars[i]]
+        assert got == want
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4))
+    assert verify_circuit(vk, proof)
+    cs.resolver.values[int(out_vars[0, 0])] ^= 1
+    assert not cs.check_if_satisfied(verbose=False)
