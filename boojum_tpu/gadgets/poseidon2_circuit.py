@@ -44,7 +44,16 @@ EXTERNAL_MATRIX = _external_matrix()
 INTERNAL_MATRIX = _internal_matrix()
 
 
-def allow_poseidon2_gates(cs: ConstraintSystem):
+def allow_poseidon2_gates(cs: ConstraintSystem, flattened: bool = False):
+    """flattened=True uses Poseidon2FlattenedGate (one 130-variable instance
+    per permutation, needs >= 130 copy columns) instead of per-round
+    MatrixMultiplication gates — ~40x fewer rows per permutation."""
+    if flattened:
+        from ..cs.gates import Poseidon2FlattenedGate
+        assert cs.geometry.num_columns_under_copy_permutation >= 130
+        assert cs.geometry.max_allowed_constraint_degree >= 7
+        cs.allow_gate(Poseidon2FlattenedGate)
+        return
     ext_ev = MatrixMultiplicationGate.make_evaluator((12, EXTERNAL_MATRIX))
     ext_ev.name = "matrix_mul_ext_12"
     cs.allow_evaluator(ext_ev)
@@ -75,6 +84,11 @@ class Poseidon2Circuit:
         """state: 12 variable handles -> 12 variable handles."""
         ops = self.ops
         assert len(state) == 12
+        if "poseidon2_flattened" in self.cs.placement_strategy:
+            from ..cs.gates import Poseidon2FlattenedGate
+            out = Poseidon2FlattenedGate.compute_round_function_batch(
+                self.cs, np.asarray([state], np.uint64))
+            return [int(v) for v in out[0]]
         st = self._matmul("matrix_mul_ext_12", EXTERNAL_MATRIX, state)
         r = 0
         for _ in range(4):

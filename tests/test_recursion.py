@@ -87,3 +87,32 @@ def test_recursive_verifier_over_real_proof():
     recursive_verify(outer2, art.vk, alloc2, cfg, "poseidon", "poseidon2")
     outer2.pad_and_shrink()
     assert not outer2.check_if_satisfied(verbose=False)
+
+
+@pytest.mark.slow
+def test_recursive_verifier_with_flattened_poseidon2():
+    """Same recursion flow, but every in-circuit Poseidon2 permutation is a
+    single Poseidon2FlattenedGate instance (reference poseidon2.rs:442) —
+    the recursion-circuit shrink that gate exists for."""
+    inner = build_small_circuit(with_lookup=True, n_fma=8)
+    sb = create_base_setup(inner)
+    cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4,
+                      security_level=20, pow_bits=0)
+    art = create_setup_and_vk(inner, sb, cfg, "poseidon2")
+    proof = prove(inner, art, cfg, "poseidon", "poseidon2")
+
+    geom = CSGeometry(num_columns_under_copy_permutation=132,
+                      num_witness_columns=0, num_constant_columns=8,
+                      max_allowed_constraint_degree=8)
+    outer = ConstraintSystem(geom, 1 << 16, CSConfig.dev())
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
+              SelectionGate, ZeroCheckGate, FmaGateInExtension):
+        outer.allow_gate(g)
+    outer.allow_gate(ReductionGate, params=4)
+    allow_poseidon2_gates(outer, flattened=True)
+    allow_poseidon_gates(outer)
+    alloc = AllocatedProof.allocate(outer, proof)
+    recursive_verify(outer, art.vk, alloc, cfg, "poseidon", "poseidon2")
+    outer.pad_and_shrink()
+    print("flattened recursion circuit rows:", outer.final_trace_len)
+    assert outer.check_if_satisfied()
