@@ -28,6 +28,9 @@ class WitnessResolver:
         self.resolved = np.zeros(_GROW, bool)
         self.record: list[tuple[Callable | None, np.ndarray | None, np.ndarray]] = []
         self.track_record = True
+        # observability (reference resolver Stats, src/dag/resolvers/mt/mod.rs:51)
+        self.stats = {"registrations": 0, "values_set": 0,
+                      "resolution_fn_calls": 0, "resolution_time_s": 0.0}
 
     def _ensure(self, max_idx: int):
         if max_idx >= self.values.shape[0]:
@@ -64,10 +67,16 @@ class WitnessResolver:
         """fn maps the gathered input value array (same shape as ``ins``) to
         an array shaped like ``outs``. Executed immediately; recorded for
         playback. ``ins``/``outs`` may be any-shaped uint64 place arrays."""
+        import time as _time
         ins = np.asarray(ins, np.uint64)
         outs = np.asarray(outs, np.uint64)
         in_idx = places.index_of(ins)
+        _t0 = _time.perf_counter()
         out_vals = np.asarray(fn(self.values[in_idx]), np.uint64)
+        self.stats["resolution_fn_calls"] += 1
+        self.stats["resolution_time_s"] += _time.perf_counter() - _t0
+        self.stats["registrations"] += 1
+        self.stats["values_set"] += int(out_vals.size)
         out_idx = places.index_of(outs)
         if out_idx.size:
             self._ensure(int(out_idx.max()))

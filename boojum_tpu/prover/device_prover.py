@@ -394,7 +394,11 @@ class DeviceProver:
                 (int(np.asarray(q0.hi[-1, 0])) << 32)
             top1 = int(np.asarray(q1.lo[-1, 0])) | \
                 (int(np.asarray(q1.hi[-1, 0])) << 32)
-            assert top0 == 0 and top1 == 0, "unsatisfied circuit"
+            if top0 != 0 or top1 != 0:
+                # DEBUG_SATISFIABLE analogue (reference src/config.rs:7)
+                cs.check_if_satisfied(verbose=True)
+                raise AssertionError(
+                    "unsatisfied circuit (see row report above)")
 
         qcols_lo, qcols_hi = [], []
         for k in range(qd):

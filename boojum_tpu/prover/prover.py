@@ -476,7 +476,13 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     q_mono_c1 = gl.to_u64(ntt.coset_intt_cols(
         gl.from_u64(acc[1]).reshape(qd * n, 1), g, full_plan)).reshape(-1)
     if cs.config.runtime_asserts:
-        assert not q_mono_c0[-1] and not q_mono_c1[-1], "unsatisfied circuit"
+        if q_mono_c0[-1] or q_mono_c1[-1]:
+            # DEBUG_SATISFIABLE analogue (reference src/config.rs:7,
+            # prover.rs:1386): pinpoint offending rows via the row oracle
+            # instead of dividing by the vanishing poly.
+            if cs.config.runtime_asserts:
+                cs.check_if_satisfied(verbose=True)
+            raise AssertionError("unsatisfied circuit (see row report above)")
 
     quotient_chunk_cols = []
     for k in range(qd):
