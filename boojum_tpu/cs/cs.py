@@ -250,6 +250,12 @@ class ConstraintSystem:
     def alloc_witness(self) -> int:
         return self.alloc_variable() | places.WITNESS_BIT
 
+    def alloc_witness_with_value(self, value: int) -> int:
+        w = self.alloc_witness()
+        if self.resolver is not None:
+            self.resolver.set_value(w, value % npgl.ORDER)
+        return w
+
     def alloc_variable_with_value(self, value: int) -> int:
         v = self.alloc_variable()
         if self.resolver is not None:
@@ -284,13 +290,16 @@ class ConstraintSystem:
         return np.arange(start, start + m, dtype=np.int64)
 
     def place_general_gate_batch(self, name: str, key, constants: list[int],
-                                 vars_2d: np.ndarray, constants_per_instance=False):
+                                 vars_2d: np.ndarray, constants_per_instance=False,
+                                 wits_2d: np.ndarray = None):
         """Place n instances of a general-purpose gate sharing tooling ``key``.
 
         vars_2d: (n, principal_width) variable handles. ``constants`` are the
         row-shared constants (written once per claimed row) unless
         ``constants_per_instance`` (ConstantsAllocator-style: each instance
-        appends its own constants to the row).
+        appends its own constants to the row). ``wits_2d``: (n, num_witnesses)
+        witness places for gates that keep non-copiable values in witness
+        columns (reference SatisfiabilityCheckRowView witness section).
 
         Mirrors find_next_gate (src/cs/gates/mod.rs:176) batched.
         """
@@ -342,6 +351,12 @@ class ConstraintSystem:
         col_base = offsets * pw
         for j in range(pw):
             self.copy_permutation_data[col_base + j, rows] = vars_2d[:, j]
+        if wits_2d is not None:
+            wits_2d = np.asarray(wits_2d, np.uint64)
+            nwit = wits_2d.shape[1]
+            wit_base = offsets * nwit
+            for j in range(nwit):
+                self.witness_placement_data[wit_base + j, rows] = wits_2d[:, j]
         return rows, offsets
 
     def place_nop_rows(self, count: int):

@@ -545,6 +545,9 @@ class ZeroCheckEvaluator(GateEvaluator):
         self.num_variables = 2 if use_witness_column else 3
         self.num_witnesses = 1 if use_witness_column else 0
 
+    def spec_params(self):
+        return self.use_witness_column
+
     @property
     def per_chunk_offset(self):
         return (self.num_variables, self.num_witnesses, 0)
@@ -568,6 +571,31 @@ class ZeroCheckGate:
         # vacant repetitions violate term 1 -> register row cleanup
         # (reference zero_check.rs:405 finalization hint)
         ZeroCheckGate.add_row_cleanup(cs)
+
+    @staticmethod
+    def is_zero_batch_with_witness(cs, inputs) -> np.ndarray:
+        """is_zero with the inversion hint in a WITNESS column (non-copiable;
+        needs geometry.num_witness_columns >= 1 and the gate allowed with
+        use_witness_column=True — reference zero_check.rs witness variant)."""
+        inp = np.asarray(inputs, np.uint64).reshape(-1)
+        n = inp.shape[0]
+        flag = cs.alloc_variables(n)
+        inv = np.asarray([cs.alloc_witness() for _ in range(n)], np.uint64)
+
+        def fn(vals):
+            v = vals[0]
+            flags = (v == 0).astype(np.uint64)
+            nonzero = np.where(v == 0, np.uint64(1), v)
+            invs = npgl.batch_inv(nonzero)
+            invs = np.where(v == 0, np.uint64(0), invs)
+            return np.stack([flags, invs])
+
+        cs.set_values_with_dependencies(inp[None, :], np.stack([flag, inv]),
+                                        fn)
+        cs.place_general_gate_batch(
+            "zero_check", None, [], np.stack([inp, flag], axis=1),
+            wits_2d=inv[:, None])
+        return flag
 
     @staticmethod
     def is_zero_batch(cs, inputs) -> np.ndarray:
@@ -605,10 +633,17 @@ class ZeroCheckGate:
                 if need > 0:
                     zero_v = cs.alloc_variables_with_values(np.zeros(need, np.uint64))
                     one_v = cs.alloc_variables_with_values(np.ones(need, np.uint64))
-                    inv_v = cs.alloc_variables_with_values(np.zeros(need, np.uint64))
                     pw = ev.num_variables
                     cols = (count + np.arange(need)) * pw
                     cs.copy_permutation_data[cols, row] = zero_v
                     cs.copy_permutation_data[cols + 1, row] = one_v
-                    cs.copy_permutation_data[cols + 2, row] = inv_v
+                    if ev.use_witness_column:
+                        wcols = (count + np.arange(need)) * ev.num_witnesses
+                        for wc in wcols:
+                            cs.witness_placement_data[wc, row] = \
+                                cs.alloc_witness_with_value(0)
+                    else:
+                        inv_v = cs.alloc_variables_with_values(
+                            np.zeros(need, np.uint64))
+                        cs.copy_permutation_data[cols + 2, row] = inv_v
         cs.row_cleanups.append(cleanup)

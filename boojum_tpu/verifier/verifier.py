@@ -50,7 +50,7 @@ def _registry():
         "fma": lambda n: g.FmaEvaluator(),
         "boolean": lambda n: g.BooleanEvaluator(),
         "selection": lambda n: g.SelectionEvaluator(),
-        "zero_check": lambda n: g.ZeroCheckEvaluator(),
+        "zero_check": lambda n: g.ZeroCheckEvaluator(bool(n)),
         "reduction": g.ReductionEvaluator,
         "parallel_selection": g.ParallelSelectionEvaluator,
         "conditional_swap": g.ConditionalSwapEvaluator,

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main(n_bytes=8192):
     import numpy as np
 
+    import boojum_tpu
+    boojum_tpu.enable_persistent_compilation_cache()
+
     from tests.test_sha256 import build_sha256_circuit
     from boojum_tpu.cs.setup import create_base_setup
     from boojum_tpu.prover import ProofConfig

@@ -199,3 +199,34 @@ def test_prove_one_shot_convenience():
         cs, ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4),
         "poseidon2", "poseidon2")
     assert verify_circuit(vk, proof, "poseidon2", "poseidon2")
+
+
+def test_witness_columns_end_to_end():
+    """Geometry with real witness (non-copiable) columns: zero-check keeps
+    its inversion hint in a witness column; full prove->verify + mutation."""
+    from boojum_tpu.cs import (ConstraintSystem, CSConfig, CSGeometry)
+    from boojum_tpu.cs.gates import (BooleanConstraintGate,
+                                     ConstantsAllocatorGate, FmaGate, NopGate,
+                                     PublicInputGate, ZeroCheckGate)
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    geom = CSGeometry(num_columns_under_copy_permutation=8,
+                      num_witness_columns=4, num_constant_columns=4,
+                      max_allowed_constraint_degree=4)
+    cs = ConstraintSystem(geom, 128, CSConfig.dev())
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
+              PublicInputGate):
+        cs.allow_gate(g)
+    cs.allow_gate(ZeroCheckGate, params=True)  # use_witness_column
+    vals = [0, 5, 0, 9, 1]
+    inp = cs.alloc_variables_with_values(vals)
+    flags = ZeroCheckGate.is_zero_batch_with_witness(cs, inp)
+    assert [int(x) for x in cs.get_values(flags)] == [1, 0, 1, 0, 0]
+    PublicInputGate.place(cs, int(flags[0]))
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4))
+    assert verify_circuit(vk, proof)
+    cs.resolver.values[int(flags[1])] = 1
+    assert not cs.check_if_satisfied(verbose=False)
