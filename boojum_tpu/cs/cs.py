@@ -154,10 +154,15 @@ class ConstraintSystem:
         self.next_available_row = 0
         self.next_place_idx = 0
 
-        # specialized-column storage (lookups; specialized gates in later rounds)
+        # specialized-column storage (lookups)
         self.specialized_copy_data = None  # allocated on allow_lookup
         self.specialized_constants = None
         self.specialized_next_row = 0
+        # specialized GATE columns (reference GatePlacementType::UniqueOnRow
+        # over dedicated columns, tiling every row — keccak-style configs)
+        self.gate_spec_data = None  # (total_cols, max_trace) handle storage
+        self.gate_spec_layout = []  # (name, start_col, reps)
+        self.gate_spec_next_row = {}  # name -> next row
 
         # evaluator registries
         self.evaluators_general = []  # ordered GateEvaluator list
@@ -184,25 +189,17 @@ class ConstraintSystem:
 
     # -- registration --------------------------------------------------------
 
-    def allow_gate(self, gate_cls, placement: str = "general", params=None):
+    def allow_gate(self, gate_cls, placement: str = "general", params=None,
+                   specialized_reps: int = 1):
         ev = gate_cls.make_evaluator(params) if params is not None \
             else gate_cls.make_evaluator()
-        name = ev.name
-        if name in self.placement_strategy:
-            return self
-        self.placement_strategy[name] = placement
-        if placement == "general":
-            self.general_idx_by_name[name] = len(self.evaluators_general)
-            self.evaluators_general.append(ev)
-        else:
-            self.specialized_idx_by_name[name] = len(self.evaluators_specialized)
-            self.evaluators_specialized.append(ev)
-        self.tooling[name] = {}
+        self.allow_evaluator(ev, placement, specialized_reps)
         if hasattr(gate_cls, "init_tools"):
             gate_cls.init_tools(self)
         return self
 
-    def allow_evaluator(self, ev, placement: str = "general"):
+    def allow_evaluator(self, ev, placement: str = "general",
+                        specialized_reps: int = 1):
         """Register a prebuilt evaluator instance (parametrized gates)."""
         if ev.name in self.placement_strategy:
             return self
@@ -211,10 +208,44 @@ class ConstraintSystem:
             self.general_idx_by_name[ev.name] = len(self.evaluators_general)
             self.evaluators_general.append(ev)
         else:
+            # specialized gate: claim a dedicated column block, active every
+            # row (no selectors); constants must be baked into the evaluator
+            assert getattr(ev, "num_constants", 0) == 0, \
+                "specialized gates keep constants inside the evaluator"
+            assert getattr(ev, "num_witnesses", 0) == 0
             self.specialized_idx_by_name[ev.name] = len(self.evaluators_specialized)
             self.evaluators_specialized.append(ev)
+            ncols = ev.num_variables * specialized_reps
+            start = self.gate_spec_data.shape[0] if self.gate_spec_data is not None else 0
+            if self.config.keep_setup:
+                block = np.full((ncols, self.max_trace_len), places.PLACEHOLDER,
+                                np.uint64)
+                self.gate_spec_data = block if self.gate_spec_data is None else \
+                    np.concatenate([self.gate_spec_data, block], axis=0)
+            self.gate_spec_layout.append((ev.name, start, specialized_reps))
+            self.gate_spec_next_row[ev.name] = 0
         self.tooling[ev.name] = {}
         return self
+
+    def place_specialized_gate_batch(self, name: str, vars_2d: np.ndarray):
+        """Place n instances of a specialized gate, tiling ``reps`` per row
+        in its dedicated column block (active on every row; vacant rows hold
+        zeros, so the relation must vanish on the all-zero assignment)."""
+        if not self.config.keep_setup:
+            return
+        (_, start, reps), = [t for t in self.gate_spec_layout if t[0] == name]
+        ev = self.evaluators_specialized[self.specialized_idx_by_name[name]]
+        pw = ev.num_variables
+        vars_2d = np.asarray(vars_2d, np.uint64)
+        n = vars_2d.shape[0]
+        assert vars_2d.shape[1] == pw
+        row0 = self.gate_spec_next_row[name]
+        idx = np.arange(n)
+        rows = row0 + idx // reps
+        offs = idx % reps
+        for j in range(pw):
+            self.gate_spec_data[start + offs * pw + j, rows] = vars_2d[:, j]
+        self.gate_spec_next_row[name] = int(rows[-1]) + 1
 
     def gate_is_allowed(self, name: str) -> bool:
         return name in self.placement_strategy
@@ -461,7 +492,8 @@ class ConstraintSystem:
             cleanup(self)
         required = self.next_available_row + 1
         required = max(required, self.lookups_tables_total_len(),
-                       self.lookup_next_row + 1)
+                       self.lookup_next_row + 1,
+                       max(self.gate_spec_next_row.values(), default=0) + 1)
         final_len = 1 << (required - 1).bit_length()
         assert final_len <= self.max_trace_len
         for cleanup in self.columns_cleanups:
@@ -492,6 +524,9 @@ class ConstraintSystem:
             self.witness_placement_data.shape[0] else np.zeros((0, n), np.uint64)
         spec_cols = gather(self.specialized_copy_data) \
             if self.specialized_copy_data is not None else np.zeros((0, n), np.uint64)
+        if self.gate_spec_data is not None:
+            spec_cols = np.concatenate(
+                [spec_cols, gather(self.gate_spec_data)], axis=0)
         return copy_cols, wit_cols, spec_cols
 
     def check_if_satisfied(self, verbose: bool = True) -> bool:
@@ -528,6 +563,28 @@ class ConstraintSystem:
                     if verbose:
                         rows = np.nonzero(bad)[0][:5]
                         print(f"gate {ev.name} term {t_i} violated at rows {rows}")
+        # specialized gates: the relation holds on EVERY row of the gate's
+        # dedicated column block (vacant rows are all-zero)
+        if self.gate_spec_data is not None:
+            lookup_cols = self.specialized_copy_data.shape[0] \
+                if self.specialized_copy_data is not None else 0
+            for (name, start, reps) in self.gate_spec_layout:
+                ev = self.evaluators_specialized[
+                    self.specialized_idx_by_name[name]]
+                pw = ev.num_variables
+                base = lookup_cols + start
+                for rep in range(reps):
+                    off = base + rep * pw
+                    src = TraceView(
+                        [spec_cols[off + i] for i in range(pw)], [], [])
+                    for t_i, term in enumerate(ev.evaluate(src, NpOps)):
+                        bad = np.broadcast_to(term, (n,)) != 0
+                        if bad.any():
+                            ok = False
+                            if verbose:
+                                rows = np.nonzero(bad)[0][:5]
+                                print(f"specialized gate {name} rep {rep} "
+                                      f"term {t_i} violated at rows {rows}")
         # lookup membership
         lp = self.lookup_parameters
         if lp.is_specialized and self.specialized_copy_data is not None:

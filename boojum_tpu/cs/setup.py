@@ -233,7 +233,10 @@ def create_permutation_polys(cs: ConstraintSystem, n: int) -> np.ndarray:
     num_copy = cs.geometry.num_columns_under_copy_permutation
     spec = cs.specialized_copy_data[:, :n] if cs.specialized_copy_data is not None \
         else np.zeros((0, n), np.uint64)
-    handles = np.concatenate([cs.copy_permutation_data[:, :n], spec], axis=0)
+    gate_spec = cs.gate_spec_data[:, :n] if cs.gate_spec_data is not None \
+        else np.zeros((0, n), np.uint64)
+    handles = np.concatenate([cs.copy_permutation_data[:, :n], spec,
+                              gate_spec], axis=0)
     capacity = handles.shape[0]
 
     omega = _domain_generator(n)

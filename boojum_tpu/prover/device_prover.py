@@ -67,7 +67,9 @@ class DeviceProver:
         lp = cs.lookup_parameters
         self.num_var = (geometry.num_columns_under_copy_permutation
                         + (cs.specialized_copy_data.shape[0]
-                           if cs.specialized_copy_data is not None else 0))
+                           if cs.specialized_copy_data is not None else 0)
+                        + (cs.gate_spec_data.shape[0]
+                           if cs.gate_spec_data is not None else 0))
         self.num_wit = geometry.num_witness_columns
         self.num_mult = 1 if lp.lookup_is_allowed else 0
         self.num_const = sb.constant_columns.shape[0]
@@ -240,11 +242,15 @@ class DeviceProver:
         # -- alphas -----------------------------------------------------------
         alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
         total_lookup_terms = num_lookup_subargs + self.num_mult
+        total_specialized_terms = sum(
+            cs.evaluators_specialized[cs.specialized_idx_by_name[nm]]
+            .num_quotient_terms * reps
+            for (nm, _, reps) in cs.gate_spec_layout)
         total_general_terms = sum(
             ev.num_quotient_terms * ev.num_repetitions(geometry)
             for ev in cs.evaluators_general)
-        total_terms = (total_lookup_terms + total_general_terms
-                       + 2 + self.num_intermediates)
+        total_terms = (total_lookup_terms + total_specialized_terms
+                       + total_general_terms + 2 + self.num_intermediates)
         alpha_pows = [(1, 0)]
         for _ in range(total_terms - 1):
             alpha_pows.append(ext2.s2_mul(alpha_pows[-1], alpha))
@@ -316,6 +322,23 @@ class DeviceProver:
                     prod = (ones.lo, ones.hi)
                 sel_cache[key] = prod
             return sel_cache[key]
+
+        lookup_spec_cols = cs.specialized_copy_data.shape[0] \
+            if cs.specialized_copy_data is not None else 0
+        for (snm, sstart, sreps) in cs.gate_spec_layout:
+            sev = cs.evaluators_specialized[cs.specialized_idx_by_name[snm]]
+            rep_fn = self._gate_rep_fn(sev)
+            base = geometry.num_columns_under_copy_permutation \
+                + lookup_spec_cols + sstart
+            for rep in range(sreps):
+                cols = [fcol(w_flat, base + rep * sev.num_variables + i)
+                        for i in range(sev.num_variables)]
+                terms = rep_fn([c[0] for c in cols], [c[1] for c in cols],
+                               [], [], [], [])
+                for t_i in range(len(terms) // 2):
+                    t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
+                    acc = acc + EV(*jscale_base(t_lo, t_hi, alpha_arrs[ai]))
+                    ai += 1
 
         for ev_idx, ev in enumerate(cs.evaluators_general):
             if ev.num_quotient_terms == 0:

@@ -73,6 +73,9 @@ class VerificationKeyCircuitGeometry:
     num_witness_polys: int
     num_constant_polys: int
     num_multiplicity_polys: int
+    # specialized (UniqueOnRow) gates: registry specs + (name, start, reps)
+    specialized_evaluator_specs: list = None
+    gate_spec_layout: list = None
 
 
 @dataclass

@@ -140,6 +140,8 @@ def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
 
     evaluator_specs = [(ev.name, ev.spec_params())
                        for ev in cs.evaluators_general]
+    specialized_specs = [(ev.name, ev.spec_params())
+                         for ev in cs.evaluators_specialized]
     fixed = VerificationKeyCircuitGeometry(
         geometry=cs.geometry,
         lookup_parameters=cs.lookup_parameters,
@@ -157,7 +159,11 @@ def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
         cap_size=proof_config.merkle_tree_cap_size,
         num_variable_polys=(cs.geometry.num_columns_under_copy_permutation
                             + (cs.specialized_copy_data.shape[0]
-                               if cs.specialized_copy_data is not None else 0)),
+                               if cs.specialized_copy_data is not None else 0)
+                            + (cs.gate_spec_data.shape[0]
+                               if cs.gate_spec_data is not None else 0)),
+        specialized_evaluator_specs=specialized_specs,
+        gate_spec_layout=[list(t) for t in cs.gate_spec_layout],
         num_witness_polys=cs.geometry.num_witness_columns,
         num_constant_polys=setup_base.constant_columns.shape[0],
         num_multiplicity_polys=(1 if cs.lookup_parameters.lookup_is_allowed else 0),
@@ -314,7 +320,10 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
     num_intermediates = len(intermediates)
     total_lookup_terms = num_lookup_subargs + num_mult_polys
-    total_specialized_terms = 0  # (no non-lookup specialized gates yet)
+    total_specialized_terms = sum(
+        cs.evaluators_specialized[cs.specialized_idx_by_name[name]]
+        .num_quotient_terms * reps
+        for (name, _, reps) in cs.gate_spec_layout)
     total_general_terms = sum(
         ev.num_quotient_terms * ev.num_repetitions(geometry)
         for ev in cs.evaluators_general)
@@ -324,6 +333,8 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     for _ in range(total_terms - 1):
         alpha_pows.append(ext2.s2_mul(alpha_pows[-1], alpha))
     lookup_alphas = alpha_pows[:total_lookup_terms]
+    specialized_alphas = alpha_pows[total_lookup_terms:
+                                    total_lookup_terms + total_specialized_terms]
     general_alphas = alpha_pows[total_lookup_terms + total_specialized_terms:
                                 total_lookup_terms + total_specialized_terms
                                 + total_general_terms]
@@ -395,6 +406,24 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
             prod = npgl.mul(prod, col if bit else npgl.sub(np.uint64(1), col))
         selector_cache[key] = prod
         return prod
+
+    # specialized gates: active on every row, no selector
+    spec_alpha_it = iter(specialized_alphas)
+    lookup_spec_cols = cs.specialized_copy_data.shape[0] \
+        if cs.specialized_copy_data is not None else 0
+    for (sname, sstart, sreps) in cs.gate_spec_layout:
+        sev = cs.evaluators_specialized[cs.specialized_idx_by_name[sname]]
+        base = geometry.num_columns_under_copy_permutation + lookup_spec_cols \
+            + sstart
+        for rep in range(sreps):
+            cols = [var_flat[base + rep * sev.num_variables + i]
+                    for i in range(sev.num_variables)]
+            from ..cs.gates.base import NpOps as _NpOps
+            for term in sev.evaluate(TraceView(cols, [], []), _NpOps):
+                a = next(spec_alpha_it)
+                term = np.broadcast_to(term, (size,))
+                acc = _np_ext_add(acc, (npgl.mul_scalar(term, a[0]),
+                                        npgl.mul_scalar(term, a[1])))
 
     gen_alpha_it = iter(general_alphas)
     for ev_idx, ev in enumerate(cs.evaluators_general):

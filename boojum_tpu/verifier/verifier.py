@@ -72,7 +72,10 @@ def build_evaluators(specs):
     reg = _registry()
     out = []
     for (name, params) in specs:
-        if name.startswith("matrix_mul"):
+        if name.startswith("matrix_mul") or (
+                isinstance(params, (tuple, list)) and len(params) == 2
+                and isinstance(params[1], (tuple, list))):
+            # a (n, matrix) spec — MatrixMultiplication under any gate name
             from ..cs.gates.arith import MatrixMulEvaluator
             ev = MatrixMulEvaluator(params)
             ev.name = name
@@ -158,16 +161,27 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
 
     # -- alpha powers, same partition as the prover -------------------------
     total_lookup_terms = num_lookup_subargs + num_mult
+    spec_layout = fixed.gate_spec_layout or []
+    spec_evaluators = build_evaluators(fixed.specialized_evaluator_specs or [])
+    total_specialized_terms = sum(
+        ev.num_quotient_terms * reps
+        for ev, (_, _, reps) in zip(spec_evaluators, spec_layout))
     total_general_terms = sum(ev.num_quotient_terms * ev.num_repetitions(geometry)
                               for ev in evaluators)
-    total_terms = total_lookup_terms + total_general_terms + 2 + num_intermediates
+    total_terms = (total_lookup_terms + total_specialized_terms
+                   + total_general_terms + 2 + num_intermediates)
     alpha_pows = [E_ONE]
     for _ in range(total_terms - 1):
         alpha_pows.append(ext2.s2_mul(alpha_pows[-1], alpha))
     lookup_alphas = alpha_pows[:total_lookup_terms]
-    general_alphas = alpha_pows[total_lookup_terms:
-                                total_lookup_terms + total_general_terms]
-    remaining_alphas = alpha_pows[total_lookup_terms + total_general_terms:]
+    specialized_alphas = alpha_pows[total_lookup_terms:
+                                    total_lookup_terms
+                                    + total_specialized_terms]
+    general_alphas = alpha_pows[total_lookup_terms + total_specialized_terms:
+                                total_lookup_terms + total_specialized_terms
+                                + total_general_terms]
+    remaining_alphas = alpha_pows[total_lookup_terms + total_specialized_terms
+                                  + total_general_terms:]
 
     # -- recompute quotient identity at z -----------------------------------
     rhs = E_ZERO
@@ -193,6 +207,20 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
             agg_t = ext2.s2_add(agg_t, ext2.s2_mul(gamma_pows[i], v_tables[i]))
         term = ext2.s2_sub(ext2.s2_mul(v_b[0], agg_t), v_mults[0])
         rhs = ext2.s2_add(rhs, ext2.s2_mul(term, next(it)))
+
+    # specialized gates at z: every-row relations, no selector
+    spec_it = iter(specialized_alphas)
+    lookup_spec_cols = lp.total_specialized_lookup_variable_columns() \
+        if lp.is_specialized else 0
+    for ev, (_, sstart, sreps) in zip(spec_evaluators, spec_layout):
+        base = geometry.num_columns_under_copy_permutation + lookup_spec_cols \
+            + sstart
+        for rep in range(sreps):
+            cols = [v_vars[base + rep * ev.num_variables + i]
+                    for i in range(ev.num_variables)]
+            for term in ev.evaluate(TraceView(cols, [], []), Ext2Ops):
+                a = next(spec_it)
+                rhs = ext2.s2_add(rhs, ext2.s2_mul(term, a))
 
     # general gates at z
     gen_it = iter(general_alphas)

@@ -327,3 +327,64 @@ def test_poseidon2_flattened_gate():
     assert verify_circuit(vk, proof)
     cs.resolver.values[int(out_vars[0, 0])] ^= 1
     assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_specialized_gate_placement_end_to_end():
+    """UniqueOnRow specialized gate (reference keccak-style configs): a
+    MatrixMultiplication gate tiles dedicated columns on every row, no
+    selectors; host prove->verify + device prover byte-equality."""
+    from boojum_tpu.cs.gates.arith import MatrixMultiplicationGate, MatrixMulEvaluator
+    from boojum_tpu.cs.setup import create_base_setup
+    from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
+    from boojum_tpu.prover.device_prover import DeviceProver, create_device_setup
+    from boojum_tpu.verifier import verify
+
+    rng = np.random.default_rng(41)
+    M = [[1, 2], [3, 4]]
+
+    def build():
+        cs = ConstraintSystem(CSGeometry(16, 0, 4, 4), 64, CSConfig.dev())
+        cs.allow_gate(ConstantsAllocatorGate)
+        cs.allow_gate(FmaGate)
+        cs.allow_gate(NopGate)
+        ev = MatrixMulEvaluator((2, M))
+        ev.name = "matmul2_spec"
+        cs.allow_evaluator(ev, placement="specialized", specialized_reps=2)
+
+        n_inst = 5
+        ins = rng.integers(0, P, (n_inst, 2), dtype=np.uint64)
+        in_vars = cs.alloc_variables_with_values(ins.reshape(-1)).reshape(n_inst, 2)
+        out_vals = np.array([
+            [(int(M[0][0]) * int(a) + int(M[0][1]) * int(b)) % P,
+             (int(M[1][0]) * int(a) + int(M[1][1]) * int(b)) % P]
+            for a, b in ins], dtype=np.uint64)
+        out_vars = cs.alloc_variables_with_values(out_vals.reshape(-1)).reshape(n_inst, 2)
+        cs.place_specialized_gate_batch(
+            "matmul2_spec", np.concatenate([in_vars, out_vars], axis=1))
+        # also some general-purpose rows
+        a = cs.alloc_variables_with_values(rng.integers(0, P, 6, dtype=np.uint64))
+        FmaGate.compute_fma_batch(cs, 3, (a, a), 1, a)
+        cs.pad_and_shrink()
+        return cs
+
+    cs = build()
+    assert cs.check_if_satisfied()
+    cfg = ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4)
+    sb = create_base_setup(cs)
+    art = create_setup_and_vk(cs, sb, cfg, "poseidon2")
+    proof = prove(cs, art, cfg, "poseidon2", "poseidon2")
+    assert verify(art.vk, proof, "poseidon2", "poseidon2")
+
+    # device prover must produce the identical proof
+    dart = create_device_setup(cs, sb, cfg, "poseidon2")
+    dp = DeviceProver(cs, dart, cfg)
+    dproof = dp.prove("poseidon2", "poseidon2")
+    import dataclasses
+    assert dataclasses.asdict(dproof) == dataclasses.asdict(proof)
+
+    # corrupt a specialized-gate output -> unsatisfied
+    cs2 = build()
+    lookup_cols = 0
+    col = cs2.gate_spec_data[2, 0]  # first instance's first output handle
+    cs2.resolver.values[int(col) & ((1 << 48) - 1)] ^= 1
+    assert not cs2.check_if_satisfied(verbose=False)
