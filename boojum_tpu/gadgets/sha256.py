@@ -60,6 +60,11 @@ class Sha256Gadget:
         self.cs = cs
         self.t = table_ids
         self._const_cache = {}
+        # value-handle -> 4-bit chunk handles, so words whose decomposition
+        # already exists (rotated state words, range-check outputs) are not
+        # re-decomposed each round (the reference caches via its
+        # decomposition tooling, u32/mod.rs:96)
+        self._chunk_cache = {}
 
     # -- small helpers ------------------------------------------------------
 
@@ -115,6 +120,9 @@ class Sha256Gadget:
     # -- decompositions -----------------------------------------------------
 
     def uint32_into_4bit_chunks(self, v: int) -> np.ndarray:
+        cached = self._chunk_cache.get(int(v))
+        if cached is not None:
+            return cached
         cs = self.cs
         chunks = cs.alloc_variables(8)
 
@@ -126,6 +134,7 @@ class Sha256Gadget:
         cs.set_values_with_dependencies(
             np.asarray([[v]], np.uint64), chunks, fn)
         self._constrain_chunk_recomposition(v, chunks)
+        self._chunk_cache[int(v)] = chunks
         return chunks
 
     def _constrain_chunk_recomposition(self, v: int, chunks):
@@ -138,12 +147,22 @@ class Sha256Gadget:
         FmaGate.enforce_fma_batch(cs, 1 << 16, ([one], [high]), 1, [low], [v])
 
     def uint32_from_4bit_chunks(self, chunks) -> int:
+        return int(self.uint32_from_4bit_chunks_batch(
+            np.asarray(chunks, np.uint64)[None, :])[0])
+
+    def uint32_from_4bit_chunks_batch(self, chunks_2d) -> np.ndarray:
+        """(n, 8) chunk handles -> (n,) u32 handles, batched reductions."""
         cs = self.cs
+        chunks_2d = np.asarray(chunks_2d, np.uint64)
         c16 = [1, 1 << 4, 1 << 8, 1 << 12]
-        low = ReductionGate.reduce_terms(cs, c16, list(chunks[:4]))
-        high = ReductionGate.reduce_terms(cs, c16, list(chunks[4:8]))
+        low = ReductionGate.reduce_terms_batch(cs, c16, chunks_2d[:, :4].T)
+        high = ReductionGate.reduce_terms_batch(cs, c16, chunks_2d[:, 4:8].T)
         one = self.constant(1)
-        return FmaGate.compute_fma(cs, 1 << 16, (one, high), 1, low)
+        ones = np.full(low.shape[0], one, np.uint64)
+        out = FmaGate.compute_fma_batch(cs, 1 << 16, (ones, high), 1, low)
+        for i in range(out.shape[0]):
+            self._chunk_cache[int(out[i])] = chunks_2d[i]
+        return out
 
     def split_and_rotate(self, v: int, rotation: int):
         """Right-rotation by ``rotation``: returns (rotated 8 chunks,
@@ -275,10 +294,12 @@ class Sha256Gadget:
         FmaGate.enforce_fma_batch(cs, 1 << 32, ([one], [int(chunks[8])]),
                                   1, [u32_part], [v])
         self._tri_xor_batch(chunks[0::3][:3], chunks[1::3][:3], chunks[2::3][:3])
+        self._chunk_cache[int(u32_part)] = np.asarray(chunks[:8], np.uint64)
         return u32_part, chunks
 
     def range_check_u32(self, v: int):
         chunks = self.uint32_into_4bit_chunks(v)
+        self._chunk_cache[int(v)] = np.asarray(chunks, np.uint64)
         a = np.asarray([chunks[0], chunks[3], chunks[6]], np.uint64)
         b = np.asarray([chunks[1], chunks[4], chunks[7]], np.uint64)
         c = np.asarray([chunks[2], chunks[5], chunks[0]], np.uint64)
@@ -364,8 +385,8 @@ def _round_function(cs, g: Sha256Gadget, state: list, message_words: list,
         shifted10[5] = rot10_high
         s1_chunks = g._tri_xor_batch(rot17, rot19, shifted10)
 
-        s0 = g.uint32_from_4bit_chunks(s0_chunks)
-        s1 = g.uint32_from_4bit_chunks(s1_chunks)
+        s0, s1 = (int(x) for x in g.uint32_from_4bit_chunks_batch(
+            np.stack([s0_chunks, s1_chunks])))
 
         word = ReductionGate.reduce_terms(
             cs, [1, 1, 1, 1], [s0, s1, expanded[idx - 7], expanded[idx - 16]])
@@ -385,12 +406,14 @@ def _round_function(cs, g: Sha256Gadget, state: list, message_words: list,
         e_rot6, _, _ = g.split_and_rotate(e, 6)
         e_rot11, _, _ = g.split_and_rotate(e, 11)
         e_rot25, _, _ = g.split_and_rotate(e, 25)
-        s1 = g.uint32_from_4bit_chunks(g._tri_xor_batch(e_rot6, e_rot11, e_rot25))
+        s1_chunks = g._tri_xor_batch(e_rot6, e_rot11, e_rot25)
 
         e_d = g.uint32_into_4bit_chunks(e)
         f_d = g.uint32_into_4bit_chunks(f)
         g_d = g.uint32_into_4bit_chunks(gg)
-        ch = g.uint32_from_4bit_chunks(g.ch_batch(e_d, f_d, g_d))
+        ch_chunks = g.ch_batch(e_d, f_d, g_d)
+        s1, ch = (int(x) for x in g.uint32_from_4bit_chunks_batch(
+            np.stack([s1_chunks, ch_chunks])))
 
         rc = g.constant(ROUND_CONSTANTS[rnd])
         tmp1 = ReductionGate.reduce_terms(cs, [1, 1, 1, 1], [h, s1, ch, rc])
@@ -403,12 +426,14 @@ def _round_function(cs, g: Sha256Gadget, state: list, message_words: list,
         a_rot22 = np.empty(8, np.uint64)
         for i in range(8):
             a_rot22[i] = a_rot2[(i + 5) % 8]
-        s0 = g.uint32_from_4bit_chunks(g._tri_xor_batch(a_rot2, a_rot13, a_rot22))
+        s0_chunks = g._tri_xor_batch(a_rot2, a_rot13, a_rot22)
 
         a_d = g.uint32_into_4bit_chunks(a)
         b_d = g.uint32_into_4bit_chunks(b)
         c_d = g.uint32_into_4bit_chunks(c)
-        maj = g.uint32_from_4bit_chunks(g.maj_batch(a_d, b_d, c_d))
+        maj_chunks = g.maj_batch(a_d, b_d, c_d)
+        s0, maj = (int(x) for x in g.uint32_from_4bit_chunks_batch(
+            np.stack([s0_chunks, maj_chunks])))
 
         t = ReductionGate.reduce_terms(cs, [1, 1, 1, 0], [s0, maj, tmp1, zero])
         new_a, _ = g.range_check_36(t)
