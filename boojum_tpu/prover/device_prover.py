@@ -39,18 +39,19 @@ P = npgl.ORDER
 
 
 def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2"):
-    """Device-resident setup oracle + VK (cap identical to the host path)."""
-    from .prover import create_setup_and_vk
+    """Device-resident setup oracle + VK (cap identical to the host path —
+    the tree is the same; only where the layers live differs)."""
+    from .prover import make_vk
 
-    host_art = create_setup_and_vk(cs, setup_base, proof_config, hasher)
     cols = np.concatenate([setup_base.copy_permutation_polys,
                            setup_base.constant_columns,
                            setup_base.lookup_tables_columns], axis=0)
     lde = max(proof_config.fri_lde_factor, setup_base.quotient_degree)
     oracle = DeviceOracle(cols, lde, proof_config.merkle_tree_cap_size, hasher,
                           tree_lde=proof_config.fri_lde_factor)
+    vk = make_vk(cs, setup_base, proof_config, oracle.get_cap())
     return ProvingArtifacts(setup_base=setup_base, setup_oracle=oracle,
-                            vk=host_art.vk)
+                            vk=vk)
 
 
 class DeviceProver:

@@ -127,17 +127,10 @@ class ProvingArtifacts:
     vk: VerificationKey
 
 
-def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
-                        proof_config: ProofConfig, hasher: str) -> ProvingArtifacts:
-    """Commit the setup (sigmas ++ constants ++ table columns) and build the
-    VK (reference materialize_setup_storage_and_vk, setup.rs:1179)."""
-    cols = np.concatenate([setup_base.copy_permutation_polys,
-                           setup_base.constant_columns,
-                           setup_base.lookup_tables_columns], axis=0)
-    lde = max(proof_config.fri_lde_factor, setup_base.quotient_degree)
-    oracle = CommittedOracle(cols, lde, proof_config.merkle_tree_cap_size, hasher,
-                             tree_lde=proof_config.fri_lde_factor)
-
+def make_vk(cs: ConstraintSystem, setup_base: SetupBase,
+            proof_config: ProofConfig, setup_cap) -> "VerificationKey":
+    """VK from an already-committed setup cap (shared by the host and
+    device setup paths; reference materialize_setup_storage_and_vk)."""
     evaluator_specs = [(ev.name, ev.spec_params())
                        for ev in cs.evaluators_general]
     specialized_specs = [(ev.name, ev.spec_params())
@@ -168,8 +161,21 @@ def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
         num_constant_polys=setup_base.constant_columns.shape[0],
         num_multiplicity_polys=(1 if cs.lookup_parameters.lookup_is_allowed else 0),
     )
-    vk = VerificationKey(fixed_parameters=fixed,
-                         setup_merkle_tree_cap=oracle.get_cap())
+    return VerificationKey(fixed_parameters=fixed,
+                           setup_merkle_tree_cap=setup_cap)
+
+
+def create_setup_and_vk(cs: ConstraintSystem, setup_base: SetupBase,
+                        proof_config: ProofConfig, hasher: str) -> ProvingArtifacts:
+    """Commit the setup (sigmas ++ constants ++ table columns) and build the
+    VK (reference materialize_setup_storage_and_vk, setup.rs:1179)."""
+    cols = np.concatenate([setup_base.copy_permutation_polys,
+                           setup_base.constant_columns,
+                           setup_base.lookup_tables_columns], axis=0)
+    lde = max(proof_config.fri_lde_factor, setup_base.quotient_degree)
+    oracle = CommittedOracle(cols, lde, proof_config.merkle_tree_cap_size, hasher,
+                             tree_lde=proof_config.fri_lde_factor)
+    vk = make_vk(cs, setup_base, proof_config, oracle.get_cap())
     return ProvingArtifacts(setup_base=setup_base, setup_oracle=oracle, vk=vk)
 
 
