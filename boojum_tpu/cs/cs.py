@@ -504,6 +504,46 @@ class ConstraintSystem:
         self.final_trace_len = final_len
         return final_len
 
+    def replay_witness(self, overrides: dict):
+        """Repeated proving: replay the recorded witness program with new
+        input values (place -> value) and recount lookup multiplicities.
+        The trace layout, setup and VK are unchanged — only values move."""
+        assert self.resolver is not None
+        new = self.resolver.playback(self.resolver.record, overrides)
+        new.record = self.resolver.record
+        self.resolver = new
+        self.recount_multiplicities()
+
+    def recount_multiplicities(self):
+        """Recount lookup multiplicities from the CURRENT witness values of
+        every placed lookup instance (needed after replay_witness)."""
+        lp = self.lookup_parameters
+        if not (lp.lookup_is_allowed and lp.is_specialized):
+            return
+        for m in self.lookup_multiplicities:
+            m[:] = 0
+        pw = lp.specialized_columns_per_repetition()
+        nrows = self.lookup_next_row
+        if nrows == 0:
+            return
+        vals = self.resolver.values
+        ids = self.specialized_constants[0, :nrows]
+        for rep in range(lp.num_repetitions):
+            handles = self.specialized_copy_data[rep * pw:(rep + 1) * pw,
+                                                 :nrows]
+            live = (handles[0] & np.uint64(places.PLACEHOLDER_BIT)) == 0
+            if not live.any():
+                continue
+            block = vals[places.index_of(handles[:, live])]
+            row_ids = ids[live]
+            for tid in np.unique(row_ids):
+                table = self.get_table(int(tid))
+                sel = row_ids == tid
+                keys = block[:table.num_keys][:, sel]
+                rows = table.lookup_rows(keys)
+                np.add.at(self.lookup_multiplicities[
+                    int(tid) - INITIAL_LOOKUP_TABLE_ID_VALUE], rows, 1)
+
     # -- satisfiability oracle (reference satisfiability_test.rs:15) ---------
 
     def materialize_value_columns(self, n: int):

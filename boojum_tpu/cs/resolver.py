@@ -98,13 +98,36 @@ class WitnessResolver:
 
     # -- playback ------------------------------------------------------------
 
-    def playback(self, record) -> "WitnessResolver":
-        """Execute a recorded program into a fresh resolver (no re-recording)."""
+    def playback(self, record, overrides: dict = None) -> "WitnessResolver":
+        """Execute a recorded program into a fresh resolver (no re-recording).
+
+        ``overrides`` maps input places to NEW values: repeated proving of
+        the same circuit with fresh inputs replays the witness program
+        without re-synthesis (reference prove_from_witness_vec /
+        ResolutionRecord playback, convenience.rs:151,
+        sorters/sorter_playback.rs:28)."""
         out = WitnessResolver(self.max_variables)
         out.track_record = False
+        if overrides:
+            okeys = np.fromiter(overrides.keys(), np.uint64,
+                                count=len(overrides))
+            ovals = np.fromiter((overrides[int(k)] for k in okeys), np.uint64,
+                                count=len(overrides))
+            order = np.argsort(okeys)
+            okeys, ovals = okeys[order], ovals[order]
         for fn, ins, outs in record:
             if fn is None:
-                out.set_values(outs, ins)
+                vals = ins
+                if overrides:
+                    flat = outs.reshape(-1)
+                    pos = np.searchsorted(okeys, flat)
+                    pos = np.minimum(pos, okeys.shape[0] - 1)
+                    hit = okeys[pos] == flat
+                    if hit.any():
+                        vals = ins.reshape(-1).copy()
+                        vals[hit] = ovals[pos[hit]]
+                        vals = vals.reshape(ins.shape)
+                out.set_values(outs, vals)
             else:
                 out.add_resolution(ins, outs, fn)
         return out

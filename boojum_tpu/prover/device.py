@@ -52,8 +52,37 @@ def _jit_cols_to_monomials(log_n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_monomials_to_lde(log_n: int, lde_factor: int):
-    return jax.jit(lambda mono: ntt.lde_from_monomials(mono, log_n, lde_factor))
+def _jit_lde_all_cosets(log_n: int, lde_factor: int, block: int):
+    """Full LDE of one column block in ONE dispatch with ONE single-NTT-sized
+    graph: the coset power columns are DATA (lde, n), the coset axis is
+    folded into the NTT's batch axis. (Unrolling the lde cosets into the
+    graph — lde_from_monomials under jit — hit the superlinear-compile
+    pathology: ~8x graph = minutes on the axon backend.)"""
+    plan = ntt.get_plan(log_n)
+    n = 1 << log_n
+
+    def f(lo, hi, plo, phi):
+        # (n, B) x (L, n) -> (n, L, B) scaled copies
+        x = gl.mul(GL(lo[:, None, :], hi[:, None, :]),
+                   GL(plo.T[:, :, None], phi.T[:, :, None]))
+        flat = x.reshape(n, lde_factor * block)
+        out = ntt.ntt_cols(flat, plan).reshape(n, lde_factor, block)
+        return (jnp.swapaxes(out.lo, 0, 1), jnp.swapaxes(out.hi, 0, 1))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_power_limbs_dev(log_n: int, lde_factor: int):
+    """Device (lde, n) u32-limb coset power columns (bitreversed-coset
+    order), uploaded once per process."""
+    n = 1 << log_n
+    lows, highs = [], []
+    for coset in ntt.lde_cosets(log_n, lde_factor):
+        pows = npgl.powers(int(coset), n)
+        lows.append((pows & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        highs.append((pows >> np.uint64(32)).astype(np.uint32))
+    return jnp.asarray(np.stack(lows)), jnp.asarray(np.stack(highs))
 
 
 def _blocked(fn, x: GL, out_axis_offset: int = 0) -> GL:
@@ -83,7 +112,10 @@ def cols_to_monomials(cols: GL) -> GL:
 def monomials_to_lde(mono: GL, lde_factor: int) -> GL:
     """(n, k) monomials -> (lde, n, k) bitreversed coset evals."""
     n = mono.shape[0]
-    return _blocked(_jit_monomials_to_lde(n.bit_length() - 1, lde_factor), mono)
+    log_n = n.bit_length() - 1
+    f = _jit_lde_all_cosets(log_n, lde_factor, COL_BLOCK)
+    plo, phi = _coset_power_limbs_dev(log_n, lde_factor)
+    return _blocked(lambda b: GL(*f(b.lo, b.hi, plo, phi)), mono)
 
 
 def lde_flat(lde: GL) -> GL:

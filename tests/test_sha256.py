@@ -36,6 +36,7 @@ def build_sha256_circuit(input_bytes: bytes, max_trace_len=1 << 14):
     in_vars = allocate_u8_checked_batch(
         cs, np.frombuffer(input_bytes, np.uint8).astype(np.uint64), tids)
     out_vars = sha_mod.sha256(cs, in_vars, tids)
+    cs.input_variables = in_vars
     return cs, out_vars
 
 
@@ -73,3 +74,30 @@ def test_sha256_prove_verify_small():
     artifacts = create_setup_and_vk(cs, setup_base, cfg, "poseidon2")
     proof = prove(cs, artifacts, cfg, "poseidon", "poseidon2")
     assert verify(artifacts.vk, proof, "poseidon", "poseidon2")
+
+
+def test_witness_replay_new_input():
+    """prove_from_witness_vec analogue: same circuit + setup, new input via
+    witness replay (no re-synthesis); both proofs verify with the SAME VK."""
+    from boojum_tpu.cs.setup import create_base_setup
+    from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
+    from boojum_tpu.verifier import verify
+
+    data_a = bytes(RNG.integers(0, 256, 20, dtype=np.uint8))
+    data_b = bytes(RNG.integers(0, 256, 20, dtype=np.uint8))
+    cs, out = build_sha256_circuit(data_a)
+    cs.pad_and_shrink()
+    cfg = ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=8)
+    sb = create_base_setup(cs)
+    art = create_setup_and_vk(cs, sb, cfg, "poseidon2")
+    proof_a = prove(cs, art, cfg, "poseidon2", "poseidon2")
+    assert verify(art.vk, proof_a, "poseidon2", "poseidon2")
+
+    overrides = {int(v): b for v, b in zip(cs.input_variables, data_b)}
+    cs.replay_witness(overrides)
+    digest = bytes(int(cs.get_value(int(v))) for v in out)
+    assert digest == hashlib.sha256(data_b).digest()
+    assert cs.check_if_satisfied()
+    proof_b = prove(cs, art, cfg, "poseidon2", "poseidon2")
+    assert verify(art.vk, proof_b, "poseidon2", "poseidon2")
+    assert proof_b.witness_oracle_cap != proof_a.witness_oracle_cap
