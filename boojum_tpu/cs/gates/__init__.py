@@ -12,6 +12,7 @@ from .arith import (  # noqa: F401
 )
 from .base import Ext2Ops, GateEvaluator, GLOps, NpOps, TraceView  # noqa: F401
 from .poseidon2_gate import Poseidon2FlattenedGate  # noqa: F401
+from .poseidon_gate import PoseidonFlattenedGate  # noqa: F401
 from .simple import (  # noqa: F401
     BooleanConstraintGate,
     ConditionalSwapGate,

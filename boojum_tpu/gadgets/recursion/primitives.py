@@ -29,7 +29,15 @@ _POSEIDON_MDS = [[1 << _EXPS[(12 - r + c) % 12] for c in range(12)]
                  for r in range(12)]
 
 
-def allow_poseidon_gates(cs: ConstraintSystem):
+def allow_poseidon_gates(cs: ConstraintSystem, flattened: bool = False):
+    """flattened=True uses PoseidonFlattenedGate (one 130-variable instance
+    per permutation; needs >= 130 copy columns and degree >= 7)."""
+    if flattened:
+        from ...cs.gates import PoseidonFlattenedGate
+        assert cs.geometry.num_columns_under_copy_permutation >= 130
+        assert cs.geometry.max_allowed_constraint_degree >= 7
+        cs.allow_gate(PoseidonFlattenedGate)
+        return
     ev = MatrixMultiplicationGate.make_evaluator((12, _POSEIDON_MDS))
     ev.name = "matrix_mul_poseidon_12"
     cs.allow_evaluator(ev)
@@ -58,6 +66,11 @@ class PoseidonCircuit:
 
     def permutation(self, state: list) -> list:
         ops = self.ops
+        if "poseidon_flattened" in self.cs.placement_strategy:
+            from ...cs.gates import PoseidonFlattenedGate
+            out = PoseidonFlattenedGate.compute_round_function_batch(
+                self.cs, np.asarray([state], np.uint64))
+            return [int(v) for v in out[0]]
         r = 0
         st = list(state)
         for _ in range(4):

@@ -206,3 +206,35 @@ def monomials_from_lde_coset0(evals: GL, log_n: int, lde_factor: int) -> GL:
     plan = get_plan(log_n)
     coset = lde_cosets(log_n, lde_factor)[0]
     return coset_intt_cols(evals, coset, plan)
+
+
+def ntt_fourstep_cols(x: GL, log_n1: int = None) -> GL:
+    """Forward NTT (natural -> bitreversed) of one LARGE (n, B) batch via the
+    four-step decomposition with jnp passes — both passes are wide
+    column-batched NTTs, so a 2^24-point transform runs at full VPU lane
+    utilization instead of the (n, 1) degenerate layout (and compiles two
+    ~half-depth programs instead of one 24-stage graph).
+
+    Same derivation as the Pallas kernel (pallas_ntt.ntt_fourstep): with
+    j = j1·n2 + j2, k = k1 + n1·k2 and both passes emitting bitreversed
+    rows, the row-major (p1, p2) flatten IS the full bitreversed output.
+    """
+    n, b = x.shape
+    log_n = n.bit_length() - 1
+    if log_n1 is None:
+        log_n1 = (log_n + 1) // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+
+    from .pallas_ntt import _fourstep_twiddles_host
+    tw_lo, tw_hi = _fourstep_twiddles_host(log_n1, log_n2)
+
+    xv = x.reshape(n1, n2 * b)
+    s1 = ntt_cols(xv, get_plan(log_n1)).reshape(n1, n2, b)
+    w = GL(jnp.asarray(tw_lo)[:, :, None], jnp.asarray(tw_hi)[:, :, None])
+    s1 = gl.mul(s1, w)
+    s1t = GL(jnp.swapaxes(s1.lo, 0, 1).reshape(n2, n1 * b),
+             jnp.swapaxes(s1.hi, 0, 1).reshape(n2, n1 * b))
+    s2 = ntt_cols(s1t, get_plan(log_n2)).reshape(n2, n1, b)
+    return GL(jnp.swapaxes(s2.lo, 0, 1).reshape(n, b),
+              jnp.swapaxes(s2.hi, 0, 1).reshape(n, b))

@@ -40,6 +40,11 @@ def _p2flat():
     return Poseidon2FlattenedEvaluator()
 
 
+def _pflat():
+    from ..cs.gates.poseidon_gate import PoseidonFlattenedEvaluator
+    return PoseidonFlattenedEvaluator()
+
+
 def _registry():
     from ..cs.gates import arith as ga
     from ..cs.gates import simple as g
@@ -65,6 +70,7 @@ def _registry():
         "u32_tri_add_carry": lambda n: ga.U32TriAddCarryEvaluator(),
         "u8x4_fma": lambda n: ga.U8x4FMAEvaluator(),
         "poseidon2_flattened": lambda n: _p2flat(),
+        "poseidon_flattened": lambda n: _pflat(),
     }
 
 

@@ -388,3 +388,30 @@ def test_specialized_gate_placement_end_to_end():
     col = cs2.gate_spec_data[2, 0]  # first instance's first output handle
     cs2.resolver.values[int(col) & ((1 << 48) - 1)] ^= 1
     assert not cs2.check_if_satisfied(verbose=False)
+
+
+def test_poseidon_flattened_gate():
+    """Classic-Poseidon flattened gate vs the exact scalar permutation."""
+    from boojum_tpu.cs.gates import PoseidonFlattenedGate
+    from boojum_tpu.hash.poseidon import s_permutation
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    rng = np.random.default_rng(29)
+    cs = ConstraintSystem(CSGeometry(130, 0, 4, 8), 64, CSConfig.dev())
+    cs.allow_gate(ConstantsAllocatorGate)
+    cs.allow_gate(NopGate)
+    cs.allow_gate(PoseidonFlattenedGate)
+    states = rng.integers(0, P, (2, 12), dtype=np.uint64)
+    in_vars = cs.alloc_variables_with_values(states.reshape(-1)).reshape(2, 12)
+    out_vars = PoseidonFlattenedGate.compute_round_function_batch(cs, in_vars)
+    for i in range(2):
+        want = s_permutation([int(x) for x in states[i]])
+        got = [cs.get_value(int(v)) for v in out_vars[i]]
+        assert got == want
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4))
+    assert verify_circuit(vk, proof)
+    cs.resolver.values[int(out_vars[1, 5])] ^= 1
+    assert not cs.check_if_satisfied(verbose=False)

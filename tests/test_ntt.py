@@ -106,3 +106,19 @@ def test_ntt_jit_under_mesh_batch():
     a = f(gl.from_u64(coeffs))
     b = ntt.ntt_cols(gl.from_u64(coeffs), plan)
     assert np.array_equal(gl.to_u64(a), gl.to_u64(b))
+
+
+def test_fourstep_cols_matches_direct():
+    import numpy as np
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.ntt import ntt
+    from boojum_tpu.utils import npgl
+
+    rng = np.random.default_rng(5)
+    for log_n in (8, 11):
+        n = 1 << log_n
+        vals = rng.integers(0, npgl.ORDER, (n, 3), dtype=np.uint64)
+        x = gl.from_u64(vals)
+        ref = np.asarray(gl.to_u64(ntt.ntt_cols(x, ntt.get_plan(log_n))))
+        got = np.asarray(gl.to_u64(ntt.ntt_fourstep_cols(x)))
+        assert np.array_equal(got, ref)

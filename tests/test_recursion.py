@@ -110,7 +110,7 @@ def test_recursive_verifier_with_flattened_poseidon2():
         outer.allow_gate(g)
     outer.allow_gate(ReductionGate, params=4)
     allow_poseidon2_gates(outer, flattened=True)
-    allow_poseidon_gates(outer)
+    allow_poseidon_gates(outer, flattened=True)
     alloc = AllocatedProof.allocate(outer, proof)
     recursive_verify(outer, art.vk, alloc, cfg, "poseidon", "poseidon2")
     outer.pad_and_shrink()
