@@ -238,3 +238,40 @@ def ntt_fourstep_cols(x: GL, log_n1: int = None) -> GL:
     s2 = ntt_cols(s1t, get_plan(log_n2)).reshape(n2, n1, b)
     return GL(jnp.swapaxes(s2.lo, 0, 1).reshape(n, b),
               jnp.swapaxes(s2.hi, 0, 1).reshape(n, b))
+
+
+def intt_fourstep_cols(y: GL, log_n1: int = None) -> GL:
+    """Inverse of :func:`ntt_fourstep_cols` (bitreversed evals -> natural
+    coeffs) — inverse passes in reverse order, dividing the cross twiddles:
+    iNTT_{n2} over p2, · w[p1,j2]^{-1}, iNTT_{n1} over p1."""
+    n, b = y.shape
+    log_n = n.bit_length() - 1
+    if log_n1 is None:
+        log_n1 = (log_n + 1) // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+
+    from .pallas_ntt import _fourstep_twiddles_host
+    from ..utils import npgl
+    tw_lo, tw_hi = _fourstep_twiddles_host(log_n1, log_n2)
+    tw = (tw_lo.astype(np.uint64) | (tw_hi.astype(np.uint64) << np.uint64(32)))
+    tw_inv = npgl.batch_inv(tw.reshape(-1)).reshape(n1, n2)
+    wi = GL(jnp.asarray((tw_inv & np.uint64(0xFFFFFFFF)).astype(np.uint32))[:, :, None],
+            jnp.asarray((tw_inv >> np.uint64(32)).astype(np.uint32))[:, :, None])
+
+    yv = y.reshape(n1, n2, b)  # (p1, p2, b)
+    s2t = GL(jnp.swapaxes(yv.lo, 0, 1).reshape(n2, n1 * b),
+             jnp.swapaxes(yv.hi, 0, 1).reshape(n2, n1 * b))
+    s1t = intt_cols(s2t, get_plan(log_n2)).reshape(n2, n1, b)  # (j2, p1, b)
+    s1 = GL(jnp.swapaxes(s1t.lo, 0, 1), jnp.swapaxes(s1t.hi, 0, 1))  # (p1, j2, b)
+    s1 = gl.mul(s1, wi)
+    x = intt_cols(s1.reshape(n1, n2 * b), get_plan(log_n1))
+    return x.reshape(n, b)
+
+
+def coset_intt_fourstep_cols(y: GL, coset: int) -> GL:
+    """coset_intt_cols via the four-step inverse (for large single polys)."""
+    x = intt_fourstep_cols(y)
+    if coset != 1:
+        x = distribute_powers(x, gl.s_inv(coset))
+    return x

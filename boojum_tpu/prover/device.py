@@ -47,6 +47,9 @@ COL_BLOCK = 64  # fixed column-block width: ONE compiled NTT/LDE program per
 
 @functools.lru_cache(maxsize=None)
 def _jit_cols_to_monomials(log_n: int):
+    if log_n >= 14:
+        return jax.jit(
+            lambda cols: ntt.intt_fourstep_cols(ntt.bitreverse_gl(cols)))
     plan = ntt.get_plan(log_n)
     return jax.jit(lambda cols: ntt.intt_cols(ntt.bitreverse_gl(cols), plan))
 
@@ -66,7 +69,11 @@ def _jit_lde_all_cosets(log_n: int, lde_factor: int, block: int):
         x = gl.mul(GL(lo[:, None, :], hi[:, None, :]),
                    GL(plo.T[:, :, None], phi.T[:, :, None]))
         flat = x.reshape(n, lde_factor * block)
-        out = ntt.ntt_cols(flat, plan).reshape(n, lde_factor, block)
+        if log_n >= 14:
+            out = ntt.ntt_fourstep_cols(flat)
+        else:
+            out = ntt.ntt_cols(flat, plan)
+        out = out.reshape(n, lde_factor, block)
         return (jnp.swapaxes(out.lo, 0, 1), jnp.swapaxes(out.hi, 0, 1))
 
     return jax.jit(f)

@@ -411,8 +411,11 @@ class DeviceProver:
             np.repeat(device.vanishing_inverse_per_coset(n, qd), n))
         acc = EV(*jext_mul_base(*acc.a, vanish.lo, vanish.hi))
         plan_log = size.bit_length() - 1
-        q0 = _intt_coset_jit(plan_log)(GL(acc.a[0][:, None], acc.a[1][:, None]))
-        q1 = _intt_coset_jit(plan_log)(GL(acc.a[2][:, None], acc.a[3][:, None]))
+        both = _intt_coset_jit(plan_log)(
+            GL(jnp.stack([acc.a[0], acc.a[2]], axis=1),
+               jnp.stack([acc.a[1], acc.a[3]], axis=1)))
+        q0 = GL(both.lo[:, :1], both.hi[:, :1])
+        q1 = GL(both.lo[:, 1:], both.hi[:, 1:])
         if cs.config.runtime_asserts:
             top0 = int(np.asarray(q0.lo[-1, 0])) | \
                 (int(np.asarray(q0.hi[-1, 0])) << 32)
@@ -657,6 +660,11 @@ def _intt_coset_jit(log_size):
 
     from ..ntt import ntt as jntt
 
-    plan = jntt.get_plan(log_size)
     g = gl.MULTIPLICATIVE_GENERATOR
+    if log_size >= 14:
+        # large single-poly iNTT: four-step keeps the passes wide and the
+        # compiled graphs half-depth (a direct (2^19, 2) program compiled
+        # for minutes on the axon backend)
+        return jax.jit(lambda x: jntt.coset_intt_fourstep_cols(x, int(g)))
+    plan = jntt.get_plan(log_size)
     return jax.jit(lambda x: jntt.coset_intt_cols(x, g, plan))

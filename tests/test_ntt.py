@@ -122,3 +122,39 @@ def test_fourstep_cols_matches_direct():
         ref = np.asarray(gl.to_u64(ntt.ntt_cols(x, ntt.get_plan(log_n))))
         got = np.asarray(gl.to_u64(ntt.ntt_fourstep_cols(x)))
         assert np.array_equal(got, ref)
+
+
+def test_intt_fourstep_cols_matches_direct():
+    import numpy as np
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.ntt import ntt
+    from boojum_tpu.utils import npgl
+
+    rng = np.random.default_rng(9)
+    log_n = 10
+    n = 1 << log_n
+    vals = rng.integers(0, npgl.ORDER, (n, 2), dtype=np.uint64)
+    y = gl.from_u64(vals)
+    ref = np.asarray(gl.to_u64(ntt.coset_intt_cols(y, 7, ntt.get_plan(log_n))))
+    got = np.asarray(gl.to_u64(ntt.coset_intt_fourstep_cols(y, 7)))
+    assert np.array_equal(got, ref)
+
+
+def test_fourstep_at_prover_scale():
+    """log 16 — the size where the device prover switches to four-step."""
+    import numpy as np
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.ntt import ntt
+    from boojum_tpu.utils import npgl
+
+    rng = np.random.default_rng(4)
+    n = 1 << 16
+    vals = rng.integers(0, npgl.ORDER, (n, 2), dtype=np.uint64)
+    x = gl.from_u64(vals)
+    plan = ntt.get_plan(16)
+    assert np.array_equal(
+        np.asarray(gl.to_u64(ntt.ntt_fourstep_cols(x))),
+        np.asarray(gl.to_u64(ntt.ntt_cols(x, plan))))
+    assert np.array_equal(
+        np.asarray(gl.to_u64(ntt.intt_fourstep_cols(x))),
+        np.asarray(gl.to_u64(ntt.intt_cols(x, plan))))
