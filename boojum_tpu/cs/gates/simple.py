@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...utils import npgl
-from .base import GateEvaluator, TraceView
+from .base import GateEvaluator
 
 
 # ---------------------------------------------------------------------------

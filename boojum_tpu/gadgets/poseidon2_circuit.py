@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..cs.cs import ConstraintSystem
-from ..cs.gates import FmaGate
 from ..cs.gates.arith import MatrixMultiplicationGate
 from ..hash import _poseidon_constants as C
 from .num import CircuitOps

@@ -165,7 +165,7 @@ class _UIntBase:
 
     def add(self, other):
         """(self + other) mod 2^WIDTH, returns (result, carry Boolean)."""
-        from ..cs.gates.arith import UIntXAddGate, U32AddGate
+        from ..cs.gates.arith import U32AddGate
         cs = self.cs
         if self.WIDTH == 32 and cs.gate_is_allowed("u32_add"):
             c, cout = U32AddGate.add_batch(cs, [self.variable],

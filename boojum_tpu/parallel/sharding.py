@@ -19,7 +19,6 @@ pod slice.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

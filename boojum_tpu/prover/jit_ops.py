@@ -9,7 +9,6 @@ values never trigger recompiles.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
