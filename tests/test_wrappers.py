@@ -139,3 +139,47 @@ def test_full_state_circuit_queue():
     q.enforce_consistency()
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+def test_sponge_optimizer_queues():
+    """Three optimized queues interleaved through one SpongeOptimizer:
+    chains must equal plain FullStateCircuitQueue chains; satisfiable."""
+    from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry
+    from boojum_tpu.cs.gates import (ConstantsAllocatorGate, FmaGate, NopGate,
+                                     ReductionGate)
+    from boojum_tpu.gadgets.poseidon2_circuit import allow_poseidon2_gates
+    from boojum_tpu.gadgets.queue import (FullStateCircuitQueue,
+                                          OptimizedCircuitQueue,
+                                          SpongeOptimizer)
+
+    P = (1 << 64) - (1 << 32) + 1
+    cs = ConstraintSystem(CSGeometry(132, 0, 4, 8), 1 << 10, CSConfig.dev())
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate):
+        cs.allow_gate(g)
+    cs.allow_gate(ReductionGate, params=4)
+    allow_poseidon2_gates(cs, flattened=True)
+
+    opt = SpongeOptimizer(cs)
+    queues = [OptimizedCircuitQueue(cs, opt) for _ in range(3)]
+    plain = [FullStateCircuitQueue(cs) for _ in range(3)]
+    items = [[int(x) for x in RNG.integers(0, P, 8, dtype=np.uint64)]
+             for _ in range(6)]
+    for cycle in range(2):
+        for qi in range(3):
+            it = items[cycle * 3 + qi]
+            vs = [cs.alloc_variable_with_value(v) for v in it]
+            queues[qi].push(vs)
+            plain[qi].push(vs)
+        opt.flush()
+    for qi in range(3):
+        got = [cs.get_value(v) for v in queues[qi].tail]
+        want = [cs.get_value(v) for v in plain[qi].tail]
+        assert got == want
+    for cycle in range(2):
+        for qi in range(3):
+            queues[qi].pop()
+        opt.flush()
+    for q in queues:
+        q.enforce_consistency()
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
