@@ -35,29 +35,26 @@ CAP = 4
 def _leaf_hashes_traced(cols: GL) -> GL:
     """cols (k, m), k a multiple of 8 (caller pads) -> leaf hashes (4, m).
 
-    The absorb loop over k/8 rate blocks is a lax.fori_loop, so the traced
-    graph holds ONE permutation body regardless of column count — compile
-    time stays flat for wide traces (the unrolled form stalled XLA for many
-    minutes at 132+ columns)."""
+    The absorb loop over k/8 rate blocks is a lax.scan, so the traced graph
+    holds ONE permutation body regardless of column count. (A fori_loop with
+    dynamic_update_slice indexing compiled for ~10 minutes on the TPU
+    backend; scan with concatenate compiles in seconds.)"""
     k, m = cols.shape
     assert k % RATE == 0
     nblocks = k // RATE
     blocks_lo = cols.lo.reshape(nblocks, RATE, m)
     blocks_hi = cols.hi.reshape(nblocks, RATE, m)
 
-    def body(i, st):
-        st_lo, st_hi = st
-        st_lo = jax.lax.dynamic_update_slice(
-            st_lo, jax.lax.dynamic_index_in_dim(blocks_lo, i, keepdims=False),
-            (0, 0))
-        st_hi = jax.lax.dynamic_update_slice(
-            st_hi, jax.lax.dynamic_index_in_dim(blocks_hi, i, keepdims=False),
-            (0, 0))
+    def body(carry, xs):
+        st_lo, st_hi = carry
+        bl, bh = xs
+        st_lo = jnp.concatenate([bl, st_lo[RATE:]], axis=0)
+        st_hi = jnp.concatenate([bh, st_hi[RATE:]], axis=0)
         out = _permutation_stacked(GL(st_lo, st_hi))
-        return (out.lo, out.hi)
+        return (out.lo, out.hi), 0
 
-    st = gl.zeros((12, m))
-    st_lo, st_hi = jax.lax.fori_loop(0, nblocks, body, (st.lo, st.hi))
+    init = (jnp.zeros((12, m), jnp.uint32), jnp.zeros((12, m), jnp.uint32))
+    (st_lo, st_hi), _ = jax.lax.scan(body, init, (blocks_lo, blocks_hi))
     return GL(st_lo[:CAP], st_hi[:CAP])
 
 
