@@ -3,6 +3,7 @@
 import hashlib
 
 import numpy as np
+import pytest
 
 from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters
 from boojum_tpu.cs.gates import ConstantsAllocatorGate, FmaGate, NopGate, ReductionGate
@@ -46,3 +47,16 @@ def test_blake2s_two_blocks():
     assert digest == hashlib.blake2s(data, digest_size=32).digest()
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+@pytest.mark.slow
+def test_blake2s_prove_verify():
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    data = bytes(RNG.integers(0, 256, 40, dtype=np.uint8))
+    cs, out = build(data)
+    cs.pad_and_shrink()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=8),
+        "blake2s", "blake2s")
+    assert verify_circuit(vk, proof, "blake2s", "blake2s")

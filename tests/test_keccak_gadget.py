@@ -1,6 +1,7 @@
 """Keccak-256 circuit gadget vs the host keccak implementation."""
 
 import numpy as np
+import pytest
 
 from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry, LookupParameters
 from boojum_tpu.cs.gates import ConstantsAllocatorGate, FmaGate, NopGate, ReductionGate
@@ -45,3 +46,15 @@ def test_keccak256_two_permutations():
     assert digest == keccak256_host(data)
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+@pytest.mark.slow
+def test_keccak256_prove_verify():
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    data = bytes(RNG.integers(0, 256, 50, dtype=np.uint8))
+    cs, out = build(data)
+    cs.pad_and_shrink()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=8))
+    assert verify_circuit(vk, proof, "poseidon2", "poseidon2")
