@@ -116,3 +116,43 @@ def test_recursive_verifier_with_flattened_poseidon2():
     outer.pad_and_shrink()
     print("flattened recursion circuit rows:", outer.final_trace_len)
     assert outer.check_if_satisfied()
+
+
+@pytest.mark.slow
+def test_recursive_verifier_full_security_proof():
+    """BASELINE config[1]: recursion over a FULL-security proof
+    (security 100, lde 8, cap 16 — the flagship proof shape), flattened
+    poseidon gates."""
+    inner = build_small_circuit(with_lookup=True, n_fma=16)
+    sb = create_base_setup(inner)
+    cfg = ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=16)
+    art = create_setup_and_vk(inner, sb, cfg, "poseidon2")
+    proof = prove(inner, art, cfg, "poseidon", "poseidon2")
+    assert verify(art.vk, proof, "poseidon", "poseidon2")
+
+    geom = CSGeometry(num_columns_under_copy_permutation=132,
+                      num_witness_columns=0, num_constant_columns=8,
+                      max_allowed_constraint_degree=8)
+    outer = ConstraintSystem(geom, 1 << 17, CSConfig.dev())
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
+              SelectionGate, ZeroCheckGate, FmaGateInExtension):
+        outer.allow_gate(g)
+    outer.allow_gate(ReductionGate, params=4)
+    allow_poseidon2_gates(outer, flattened=True)
+    allow_poseidon_gates(outer, flattened=True)
+    import time
+    t0 = time.time()
+    alloc = AllocatedProof.allocate(outer, proof)
+    recursive_verify(outer, art.vk, alloc, cfg, "poseidon", "poseidon2")
+    outer.pad_and_shrink()
+    print("full-security recursion rows:", outer.final_trace_len,
+          "synthesis %.1fs" % (time.time() - t0))
+    assert outer.check_if_satisfied()
+
+    # close the loop: prove the OUTER circuit (a proof of proof-verification)
+    outer_sb = create_base_setup(outer)
+    outer_cfg = ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=16)
+    outer_art = create_setup_and_vk(outer, outer_sb, outer_cfg, "poseidon2")
+    outer_proof = prove(outer, outer_art, outer_cfg, "poseidon", "poseidon2")
+    assert verify(outer_art.vk, outer_proof, "poseidon", "poseidon2")
+    print("outer proof (proof-of-proof) verified")
