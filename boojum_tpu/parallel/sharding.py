@@ -272,3 +272,58 @@ def distributed_ntt(mesh: Mesh, log_n: int, batch: int):
           jnp.asarray(tw_lo), jnp.asarray(tw_hi))
 
     return jax.jit(step)
+
+
+def distributed_grand_product(mesh: Mesh, n: int):
+    """Jitted sharded exclusive grand product over GoldilocksExt2 ratios
+    (the copy-permutation z-poly recurrence, BASELINE configs[4]): each
+    device scans its row shard locally, the per-shard totals cross the ICI
+    once (`all_gather`), and every device folds in the exclusive prefix of
+    the totals before it. One collective, local everything else."""
+    from ..field import extension as ext2d
+    from ..field.extension import GL2
+    from ..prover.device import grand_product_exclusive
+
+    n_shards = mesh.devices.size
+    assert n % n_shards == 0
+
+    def step(c0l, c0h, c1l, c1h):
+        def inner(c0l, c0h, c1l, c1h):
+            ratios = GL2(GL(c0l, c0h), GL(c1l, c1h))
+            local_excl = grand_product_exclusive(ratios)
+            last = GL2(GL(local_excl.c0.lo[-1], local_excl.c0.hi[-1]),
+                       GL(local_excl.c1.lo[-1], local_excl.c1.hi[-1]))
+            tail = GL2(GL(ratios.c0.lo[-1], ratios.c0.hi[-1]),
+                       GL(ratios.c1.lo[-1], ratios.c1.hi[-1]))
+            total = ext2d.mul(last, tail)  # inclusive product of this shard
+            # gather all shard totals, fold exclusive prefix of earlier shards
+            t0l = jax.lax.all_gather(total.c0.lo, AXIS)
+            t0h = jax.lax.all_gather(total.c0.hi, AXIS)
+            t1l = jax.lax.all_gather(total.c1.lo, AXIS)
+            t1h = jax.lax.all_gather(total.c1.hi, AXIS)
+            me = jax.lax.axis_index(AXIS)
+            offset = ext2d.ones(())
+            for d in range(n_shards):
+                cand = GL2(GL(t0l[d], t0h[d]), GL(t1l[d], t1h[d]))
+                use = d < me
+                mult = GL2(
+                    GL(jnp.where(use, cand.c0.lo, jnp.uint32(1)),
+                       jnp.where(use, cand.c0.hi, jnp.uint32(0))),
+                    GL(jnp.where(use, cand.c1.lo, jnp.uint32(0)),
+                       jnp.where(use, cand.c1.hi, jnp.uint32(0))))
+                offset = ext2d.mul(offset, mult)
+            out = ext2d.mul(local_excl, GL2(
+                GL(jnp.broadcast_to(offset.c0.lo, local_excl.c0.lo.shape),
+                   jnp.broadcast_to(offset.c0.hi, local_excl.c0.hi.shape)),
+                GL(jnp.broadcast_to(offset.c1.lo, local_excl.c1.lo.shape),
+                   jnp.broadcast_to(offset.c1.hi, local_excl.c1.hi.shape))))
+            return out.c0.lo, out.c0.hi, out.c1.lo, out.c1.hi
+
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            check_vma=False,
+        )(c0l, c0h, c1l, c1h)
+
+    return jax.jit(step)

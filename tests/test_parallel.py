@@ -65,3 +65,28 @@ def test_distributed_ntt_matches_local():
     out_lo, out_hi = step(x.lo, x.hi, *pows)
     got_c = np.asarray(gl.to_u64(gl.GL(out_lo, out_hi)))
     assert np.array_equal(got_c, ref_c)
+
+
+def test_distributed_grand_product():
+    from boojum_tpu.field import extension as ext2
+
+    mesh = sharding.make_mesh()
+    S = mesh.devices.size
+    n = 1 << 9
+    rng = np.random.default_rng(11)
+    c0 = rng.integers(0, npgl.ORDER, n, dtype=np.uint64)
+    c1 = rng.integers(0, npgl.ORDER, n, dtype=np.uint64)
+
+    step = sharding.distributed_grand_product(mesh, n)
+    limb = lambda a: ((a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                      (a >> np.uint64(32)).astype(np.uint32))
+    (c0l, c0h), (c1l, c1h) = limb(c0), limb(c1)
+    o0l, o0h, o1l, o1h = step(c0l, c0h, c1l, c1h)
+    got0 = np.asarray(o0l, np.uint64) | (np.asarray(o0h, np.uint64) << np.uint64(32))
+    got1 = np.asarray(o1l, np.uint64) | (np.asarray(o1h, np.uint64) << np.uint64(32))
+
+    # exact host reference: exclusive prefix products over GL2
+    acc = (1, 0)
+    for i in range(n):
+        assert (int(got0[i]), int(got1[i])) == acc, i
+        acc = ext2.s2_mul(acc, (int(c0[i]), int(c1[i])))
