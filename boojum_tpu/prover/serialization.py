@@ -98,6 +98,8 @@ def vk_to_json(vk: VerificationKey) -> str:
         "num_witness_polys": f.num_witness_polys,
         "num_constant_polys": f.num_constant_polys,
         "num_multiplicity_polys": f.num_multiplicity_polys,
+        "specialized_evaluator_specs": f.specialized_evaluator_specs,
+        "gate_spec_layout": f.gate_spec_layout,
         "setup_merkle_tree_cap": _cap_to_json(vk.setup_merkle_tree_cap),
     })
 
@@ -123,6 +125,8 @@ def vk_from_json(s: str) -> VerificationKey:
         num_witness_polys=d["num_witness_polys"],
         num_constant_polys=d["num_constant_polys"],
         num_multiplicity_polys=d["num_multiplicity_polys"],
+        specialized_evaluator_specs=d.get("specialized_evaluator_specs"),
+        gate_spec_layout=d.get("gate_spec_layout"),
     )
     return VerificationKey(fixed_parameters=fixed,
                            setup_merkle_tree_cap=_cap_from_json(

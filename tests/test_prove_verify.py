@@ -230,3 +230,18 @@ def test_witness_columns_end_to_end():
     assert verify_circuit(vk, proof)
     cs.resolver.values[int(flags[1])] = 1
     assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_checked_in_fixture_proof_verifies():
+    """Format-stability guard (reference ships proof.json/vk.json at repo
+    root): the checked-in fixture proof must keep verifying."""
+    import os
+
+    from boojum_tpu.prover import serialization as ser
+    from boojum_tpu.prover.serialization import proof_from_json
+    from boojum_tpu.verifier import verify
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    vk = ser.vk_from_json(open(os.path.join(fdir, "vk.json")).read())
+    proof = proof_from_json(open(os.path.join(fdir, "proof.json")).read())
+    assert verify(vk, proof, "poseidon2", "poseidon2")
