@@ -150,11 +150,18 @@ class GateEvaluator:
     def per_chunk_offset(self):
         return (self.num_variables, self.num_witnesses, 0)
 
+    # optional cap on instances per row (reference bounded_*_allocator.rs:
+    # BoundedBooleanConstraintGate / BoundedConstantAllocatorGate)
+    max_repetitions_bound = None
+
     def num_repetitions(self, geometry) -> int:
         width = self.num_variables
         if width == 0:
             return 1
-        return geometry.num_columns_under_copy_permutation // width
+        reps = geometry.num_columns_under_copy_permutation // width
+        if self.max_repetitions_bound is not None:
+            reps = min(reps, self.max_repetitions_bound)
+        return reps
 
     def num_required_constants(self, geometry) -> int:
         return self.num_constants

@@ -98,6 +98,22 @@ class ConstantsAllocatorEvaluator(GateEvaluator):
         return [ops.sub(src.var(0), src.const(0))]
 
 
+class BoundedConstantsAllocatorEvaluator(ConstantsAllocatorEvaluator):
+    """Constant allocator with bounded instances per row (reference
+    bounded_constant_allocator.rs)."""
+
+    def __init__(self, bound: int):
+        self.max_repetitions_bound = bound
+        self.name = f"constants_allocator_bounded_{bound}"
+
+    def spec_params(self):
+        return self.max_repetitions_bound
+
+    def num_repetitions(self, geometry):
+        return min(super().num_repetitions(geometry),
+                   self.max_repetitions_bound)
+
+
 class ConstantsAllocatorGate:
     @staticmethod
     def make_evaluator():
@@ -266,6 +282,18 @@ class BooleanEvaluator(GateEvaluator):
     def evaluate(self, src, ops):
         a = src.var(0)
         return [ops.sub(ops.mul(a, a), a)]
+
+
+class BoundedBooleanEvaluator(BooleanEvaluator):
+    """Boolean allocator with bounded instances per row (reference
+    bounded_boolean_allocator.rs) — frees row capacity for geometry tuning."""
+
+    def __init__(self, bound: int):
+        self.max_repetitions_bound = bound
+        self.name = f"boolean_bounded_{bound}"
+
+    def spec_params(self):
+        return self.max_repetitions_bound
 
 
 class BooleanConstraintGate:

@@ -56,6 +56,9 @@ def _registry():
         "boolean": lambda n: g.BooleanEvaluator(),
         "selection": lambda n: g.SelectionEvaluator(),
         "zero_check": lambda n: g.ZeroCheckEvaluator(bool(n)),
+        "boolean_bounded": g.BoundedBooleanEvaluator,
+        "constants_allocator_bounded": lambda n: \
+            g.BoundedConstantsAllocatorEvaluator(int(n)),
         "reduction": g.ReductionEvaluator,
         "parallel_selection": g.ParallelSelectionEvaluator,
         "conditional_swap": g.ConditionalSwapEvaluator,

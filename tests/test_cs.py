@@ -415,3 +415,26 @@ def test_poseidon_flattened_gate():
     assert verify_circuit(vk, proof)
     cs.resolver.values[int(out_vars[1, 5])] ^= 1
     assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_bounded_allocators():
+    """Bounded boolean/constant allocators cap instances per row (reference
+    bounded_*_allocator.rs); e2e prove->verify."""
+    from boojum_tpu.cs.gates.simple import (BoundedBooleanEvaluator,
+                                            BoundedConstantsAllocatorEvaluator)
+    from boojum_tpu.prover import ProofConfig, prove_one_shot, verify_circuit
+
+    cs = make_cs(max_trace=64)
+    cs.allow_evaluator(BoundedBooleanEvaluator(3))
+    bits = np.asarray([1, 0, 1, 1, 0, 1, 0], np.uint64)
+    vs = cs.alloc_variables_with_values(bits)
+    cs.place_general_gate_batch("boolean_bounded_3", None, [], vs[:, None])
+    # 7 instances at 3/row -> 3 rows
+    assert cs.next_available_row == 3
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+    proof, vk = prove_one_shot(
+        cs, ProofConfig(fri_lde_factor=16, merkle_tree_cap_size=4))
+    assert verify_circuit(vk, proof)
+    cs.resolver.values[int(vs[0])] = 5
+    assert not cs.check_if_satisfied(verbose=False)
