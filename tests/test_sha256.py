@@ -76,6 +76,7 @@ def test_sha256_prove_verify_small():
     assert verify(artifacts.vk, proof, "poseidon", "poseidon2")
 
 
+@pytest.mark.slow
 def test_witness_replay_new_input():
     """prove_from_witness_vec analogue: same circuit + setup, new input via
     witness replay (no re-synthesis); both proofs verify with the SAME VK."""
