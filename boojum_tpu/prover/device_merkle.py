@@ -99,27 +99,23 @@ def _pad_cols_to_rate(cols: GL):
     return cols
 
 
-def _tree_from_leaf_cols(cols: GL, cap_size: int) -> AlgebraicMerkleTree:
+def _tree_from_leaf_cols(cols: GL, cap_size: int) -> "DeviceTree":
     cols = _pad_cols_to_rate(cols)
     k, m = cols.shape
     lo, hi = _leaf_jit(k, m)(cols.lo, cols.hi)
-    outs = [lo, hi]
+    layers = [(lo, hi)]
     cur_m = m
     while cur_m > cap_size:
         lo, hi = _node_jit(cur_m)(lo, hi)
-        outs.extend((lo, hi))
+        layers.append((lo, hi))
         cur_m //= 2
-    host = jax.device_get(tuple(outs))
-    arrays = [np.asarray(l, np.uint64) |
-              (np.asarray(h, np.uint64) << np.uint64(32))
-              for l, h in zip(host[0::2], host[1::2])]
-    return AlgebraicMerkleTree(arrays[0], arrays[1:], cap_size, "poseidon2")
+    return DeviceTree(layers)
 
 
-def build_device_tree(cols: GL, cap_size: int) -> AlgebraicMerkleTree:
+def build_device_tree(cols: GL, cap_size: int) -> "DeviceTree":
     """Poseidon2 Merkle-cap tree of device leaf columns (k, m): one rolled
     leaf-hash dispatch + one small dispatch per node layer (jits shared by
-    size), with all layers landing on host in a single transfer."""
+    size); layers stay in HBM — see DeviceTree."""
     return _tree_from_leaf_cols(cols, cap_size)
 
 
@@ -190,7 +186,6 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     """Device-resident do_fri: one tree dispatch + one fold dispatch per
     schedule entry; bit-identical to fri.do_fri on the same input."""
     from .fri import FriResult, _inverse_roots_bitreversed
-    from .oracles import FlatOracle
 
     assert hasher == "poseidon2", "device FRI requires the poseidon2 hasher"
     c0 = GL(h_a[0], h_a[1])
@@ -208,12 +203,7 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
         cl, ch = _fri_leaf_cols_jit(size, 1 << k)(cur0.lo, cur0.hi,
                                                   cur1.lo, cur1.hi)
         tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
-        src_raw = jax.device_get((cur0.lo, cur0.hi, cur1.lo, cur1.hi))
-        s0 = np.asarray(src_raw[0], np.uint64) | \
-            (np.asarray(src_raw[1], np.uint64) << np.uint64(32))
-        s1 = np.asarray(src_raw[2], np.uint64) | \
-            (np.asarray(src_raw[3], np.uint64) << np.uint64(32))
-        return FlatOracle.from_parts([s0, s1], 1 << k, tree)
+        return DeviceFlatOracle(cur0, cur1, 1 << k, tree)
 
     cur0, cur1 = c0, c1
     for stage, k in enumerate(schedule):
@@ -268,3 +258,96 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     result.monomial_forms = ([int(x) for x in mono0[:final_degree]],
                              [int(x) for x in mono1[:final_degree]])
     return result
+
+
+class DeviceTree:
+    """Merkle-cap tree whose layers STAY on device; only the cap crosses to
+    host at commit time, and query paths cross as one small batched gather
+    (the full layer stacks are ~30 MB per oracle — transferring them
+    dominated the per-oracle wall clock over the tunnel).
+
+    Mirrors AlgebraicMerkleTree's get_cap/get_proof interface."""
+
+    def __init__(self, layers):
+        # layers: [leaves (4, m), nodes (4, m/2), ..., cap (4, cap_size)]
+        # as (lo, hi) device pairs
+        self.layers = layers
+        self._cap_host = None
+        self._path_cache = {}
+
+    def get_cap(self):
+        if self._cap_host is None:
+            lo, hi = self.layers[-1]
+            l, h = jax.device_get((lo, hi))
+            arr = np.asarray(l, np.uint64) | \
+                (np.asarray(h, np.uint64) << np.uint64(32))
+            self._cap_host = [tuple(int(arr[i, j]) for i in range(4))
+                              for j in range(arr.shape[1])]
+        return self._cap_host
+
+    def prefetch_proofs(self, leaf_indices):
+        """Gather every queried leaf + sibling path in ONE host transfer."""
+        idxs = np.asarray(sorted(set(int(i) for i in leaf_indices)), np.int64)
+        depth = len(self.layers) - 1  # path excludes the cap layer
+        outs = []
+        for level in range(depth):
+            lo, hi = self.layers[level]
+            sib = jnp.asarray((idxs >> level) ^ 1)
+            outs.append((lo[:, sib], hi[:, sib]))
+        lo0, hi0 = self.layers[0]
+        own = jnp.asarray(idxs)
+        outs.append((lo0[:, own], hi0[:, own]))
+        host = jax.device_get(outs)
+        u64 = [np.asarray(l, np.uint64) | (np.asarray(h, np.uint64) << np.uint64(32))
+               for (l, h) in host]
+        for qi, leaf_idx in enumerate(idxs):
+            leaf = tuple(int(u64[-1][i, qi]) for i in range(4))
+            path = [tuple(int(u64[level][i, qi]) for i in range(4))
+                    for level in range(depth)]
+            self._path_cache[int(leaf_idx)] = (leaf, path)
+
+    def get_proof(self, idx: int):
+        if idx not in self._path_cache:
+            self.prefetch_proofs([idx])
+        return self._path_cache[int(idx)]
+
+
+class DeviceFlatOracle:
+    """FRI-layer oracle whose flat sources and tree stay on device;
+    query leaf chunks cross in one batched gather (FlatOracle interface)."""
+
+    def __init__(self, c0, c1, elems_per_leaf: int, tree: DeviceTree):
+        self.c0 = c0  # GL (size,)
+        self.c1 = c1
+        self.elems_per_leaf = elems_per_leaf
+        self.tree = tree
+        self._chunk_cache = {}
+
+    def get_cap(self):
+        return self.tree.get_cap()
+
+    def prefetch(self, flat_indices):
+        e = self.elems_per_leaf
+        leaf_idxs = sorted(set(int(i) // e for i in flat_indices))
+        self.tree.prefetch_proofs(leaf_idxs)
+        starts = np.asarray(leaf_idxs, np.int64)[:, None] * e + \
+            np.arange(e)[None, :]
+        gidx = jnp.asarray(starts.reshape(-1))
+        outs = jax.device_get((self.c0.lo[gidx], self.c0.hi[gidx],
+                               self.c1.lo[gidx], self.c1.hi[gidx]))
+        v0 = (np.asarray(outs[0], np.uint64) |
+              (np.asarray(outs[1], np.uint64) << np.uint64(32))).reshape(-1, e)
+        v1 = (np.asarray(outs[2], np.uint64) |
+              (np.asarray(outs[3], np.uint64) << np.uint64(32))).reshape(-1, e)
+        for row, li in enumerate(leaf_idxs):
+            self._chunk_cache[li] = ([int(x) for x in v0[row]],
+                                     [int(x) for x in v1[row]])
+
+    def query(self, flat_idx: int):
+        from .proof import OracleQuery
+        leaf_idx = int(flat_idx) // self.elems_per_leaf
+        if leaf_idx not in self._chunk_cache:
+            self.prefetch([flat_idx])
+        leaf, path = self.tree.get_proof(leaf_idx)
+        s0, s1 = self._chunk_cache[leaf_idx]
+        return OracleQuery(leaf_elements=s0 + s1, proof=path)

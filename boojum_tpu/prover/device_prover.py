@@ -604,6 +604,24 @@ class DeviceProver:
         s2_rows = stage2_oracle.query_many(flat_idx)
         q_rows = quotient_oracle.query_many(flat_idx)
         su_rows = setup_oracle.query_many(flat_idx)
+        # batch-prefetch every Merkle path + FRI leaf chunk (device trees)
+        for oracle in (witness_oracle, stage2_oracle, quotient_oracle,
+                       setup_oracle):
+            if hasattr(oracle.tree, "prefetch_proofs"):
+                oracle.tree.prefetch_proofs(flat_idx)
+        fri_oracles = [fri_result.base_oracle] + \
+            list(fri_result.intermediate_oracles)
+        cur_domain_pf = n
+        fri_idx_per_oracle = [[] for _ in fri_oracles]
+        for (coset_idx, inner_idx) in positions:
+            dom, inner = cur_domain_pf, inner_idx
+            for oi, k in enumerate(schedule):
+                fri_idx_per_oracle[oi].append(coset_idx * dom + inner)
+                inner >>= k
+                dom >>= k
+        for oracle, idxs in zip(fri_oracles, fri_idx_per_oracle):
+            if hasattr(oracle, "prefetch"):
+                oracle.prefetch(idxs)
 
         rounds = []
         for qi, (coset_idx, inner_idx) in enumerate(positions):
