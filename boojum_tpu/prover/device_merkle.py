@@ -89,6 +89,26 @@ def _node_jit(m: int):
     return jax.jit(f)
 
 
+_TAIL_FUSE_SIZE = 1 << 12
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_jit(m: int, cap_size: int):
+    """All node layers from size m down to the cap in ONE dispatch — below
+    ~2^12 nodes each layer is tiny, so per-layer dispatch latency over the
+    tunnel dominates; the fused graph holds log2(m/cap) small perm bodies."""
+
+    def f(lo, hi):
+        outs = []
+        cur = GL(lo, hi)
+        while cur.lo.shape[1] > cap_size:
+            cur = _node_layer_traced(cur)
+            outs.extend((cur.lo, cur.hi))
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
 def _pad_cols_to_rate(cols: GL):
     k, m = cols.shape
     pad = (-k) % RATE
@@ -105,10 +125,13 @@ def _tree_from_leaf_cols(cols: GL, cap_size: int) -> "DeviceTree":
     lo, hi = _leaf_jit(k, m)(cols.lo, cols.hi)
     layers = [(lo, hi)]
     cur_m = m
-    while cur_m > cap_size:
+    while cur_m > max(_TAIL_FUSE_SIZE, cap_size):
         lo, hi = _node_jit(cur_m)(lo, hi)
         layers.append((lo, hi))
         cur_m //= 2
+    if cur_m > cap_size:
+        tail = _tail_jit(cur_m, cap_size)(lo, hi)
+        layers.extend((tl, th) for tl, th in zip(tail[0::2], tail[1::2]))
     return DeviceTree(layers)
 
 
