@@ -280,8 +280,9 @@ class BooleanEvaluator(GateEvaluator):
     num_quotient_terms = 1
 
     def evaluate(self, src, ops):
+        # reference boolean_allocator.rs evaluate_once: a * (1 - a)
         a = src.var(0)
-        return [ops.sub(ops.mul(a, a), a)]
+        return [ops.sub(a, ops.mul(a, a))]
 
 
 class BoundedBooleanEvaluator(BooleanEvaluator):

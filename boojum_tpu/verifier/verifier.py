@@ -34,6 +34,15 @@ P = ORDER
 E_ZERO = (0, 0)
 E_ONE = (1, 0)
 
+#: reason string of the most recent verification failure (debug aid)
+LAST_FAILURE = None
+
+
+def _fail(reason: str) -> bool:
+    global LAST_FAILURE
+    LAST_FAILURE = reason
+    return False
+
 
 def _p2flat():
     from ..cs.gates.poseidon2_gate import Poseidon2FlattenedEvaluator
@@ -98,7 +107,8 @@ def build_evaluators(specs):
 
 
 def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2",
-           hasher: str = "poseidon2") -> bool:
+           hasher: str = "poseidon2", _skip_gate_identity: bool = False,
+           _identity_only: bool = False) -> bool:
     fixed = vk.fixed_parameters
     n = fixed.domain_size
     log_n = n.bit_length() - 1
@@ -123,7 +133,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     transcript = make_transcript(transcript_kind)
     transcript.witness_merkle_tree_cap(vk.setup_merkle_tree_cap)
     if len(proof.public_inputs) != len(fixed.public_inputs_locations):
-        return False
+        return _fail("public inputs count mismatch")
     transcript.witness_field_elements(proof.public_inputs)
     transcript.witness_merkle_tree_cap(proof.witness_oracle_cap)
     beta = tuple(transcript.get_multiple_challenges(2))
@@ -165,7 +175,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     v_tables = take(num_table) if lp.lookup_is_allowed else []
     v_quotient = take(qd)
     if idx != len(vals):
-        return False
+        return _fail("values_at_z count mismatch")
     v_z_omega = tuple(proof.values_at_z_omega[0])
 
     # -- alpha powers, same partition as the prover -------------------------
@@ -279,8 +289,10 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     for k in range(qd):
         q_at_z = ext2.s2_add(q_at_z, ext2.s2_mul(z_pow_nk, v_quotient[k]))
         z_pow_nk = ext2.s2_mul(z_pow_nk, z_pow_n)
-    if ext2.s2_mul(q_at_z, vanishing_at_z) != rhs:
-        return False
+    if ext2.s2_mul(q_at_z, vanishing_at_z) != rhs and not _skip_gate_identity:
+        return _fail("quotient identity at z failed")
+    if _identity_only:
+        return True
 
     # lookup sum check at 0: Σ A_i(0) == Σ B(0)
     if lp.lookup_is_allowed:
@@ -291,7 +303,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
         for i in range(num_mult):
             b_sum = ext2.s2_add(b_sum, tuple(proof.values_at_0[num_lookup_subargs + i]))
         if a_sum != b_sum:
-            return False
+            return _fail("lookup sumcheck at 0 failed")
 
     # -- DEEP challenges ----------------------------------------------------
     deep = tuple(transcript.get_multiple_challenges(2))
@@ -313,7 +325,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     transcript.witness_merkle_tree_cap(proof.fri_base_oracle_cap)
     fri_challenges = []
     if len(proof.fri_intermediate_oracles_caps) != len(schedule) - 1:
-        return False
+        return _fail("fri intermediate caps count mismatch")
     for i, k in enumerate(schedule):
         if i > 0:
             transcript.witness_merkle_tree_cap(
@@ -322,7 +334,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
         c1 = transcript.get_challenge()
         fri_challenges.append((c0, c1))
     if len(proof.final_fri_monomials[0]) != final_degree:
-        return False
+        return _fail("final fri monomials length mismatch")
     transcript.witness_field_elements(proof.final_fri_monomials[0])
     transcript.witness_field_elements(proof.final_fri_monomials[1])
 
@@ -331,7 +343,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
         challenges = transcript.get_multiple_challenges(4)
         if not pow_mod.verify_blake2s_pow(challenges, new_pow_bits,
                                           proof.pow_challenge):
-            return False
+            return _fail("pow grinding check failed")
         transcript.witness_field_elements(
             [proof.pow_challenge & 0xFFFFFFFF, proof.pow_challenge >> 32])
 
@@ -345,7 +357,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     omega_full = domain_generator(full_size.bit_length() - 1)
 
     if len(proof.queries_per_fri_repetition) != num_queries:
-        return False
+        return _fail("fri query count mismatch")
 
     verify_path = (AlgebraicMerkleTree.verify_proof_over_cap
                    if hasher in ("poseidon", "poseidon2")
@@ -367,7 +379,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
 
     def check_opening(query, cap, leaf_idx, num_leaf_elems):
         if len(query.leaf_elements) != num_leaf_elems:
-            return False
+            return _fail("oracle leaf element count mismatch")
         lh = leaf_hash(query.leaf_elements)
         kwargs = {"permutation": hasher} if hasher in ("poseidon", "poseidon2") \
             else {"algo": hasher}
@@ -384,16 +396,16 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
         num_setup_elems = num_sigma + num_const + num_table
         if not check_opening(q.witness_query, proof.witness_oracle_cap,
                              leaf_idx, num_witness_elems):
-            return False
+            return _fail("witness oracle opening failed")
         if not check_opening(q.stage_2_query, proof.stage_2_oracle_cap,
                              leaf_idx, num_stage2_elems):
-            return False
+            return _fail("stage2 oracle opening failed")
         if not check_opening(q.quotient_query, proof.quotient_oracle_cap,
                              leaf_idx, 2 * qd):
-            return False
+            return _fail("quotient oracle opening failed")
         if not check_opening(q.setup_query, vk.setup_merkle_tree_cap,
                              leaf_idx, num_setup_elems):
-            return False
+            return _fail("setup oracle opening failed")
 
         # x coordinate of the query point (flat bitreversed layout)
         flat_idx = coset_idx * n + inner_idx
@@ -470,7 +482,7 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
             fq = q.fri_queries[layer_i]
             elems_per_leaf = 1 << k
             if len(fq.leaf_elements) != 2 * elems_per_leaf:
-                return False
+                return _fail("fri leaf length mismatch")
             flat = coset_idx * cur_domain + cur_inner
             leaf_i = flat // elems_per_leaf
             cap = proof.fri_base_oracle_cap if layer_i == 0 \
@@ -479,13 +491,13 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
             kwargs = {"permutation": hasher} if hasher in ("poseidon", "poseidon2") \
                 else {"algo": hasher}
             if not verify_path(fq.proof, cap, lh, leaf_i, **kwargs):
-                return False
+                return _fail("fri merkle path failed")
             # position inside leaf must equal the expected value
             pos = flat % elems_per_leaf
             c0s = [int(x) % P for x in fq.leaf_elements[:elems_per_leaf]]
             c1s = [int(x) % P for x in fq.leaf_elements[elems_per_leaf:]]
             if (c0s[pos], c1s[pos]) != expected:
-                return False
+                return _fail("fri leaf value != expected fold input")
             # fold the leaf down to one value with this stage's challenge
             ch = fri_challenges[layer_i]
             base_flat = leaf_i * elems_per_leaf
@@ -527,6 +539,6 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
             acc = ext2.s2_add(acc, ext2.s2_mul(xp, (int(c0v), int(c1v))))
             xp = ext2.s2_mul(xp, (x_fin, 0))
         if acc != expected:
-            return False
+            return _fail("final monomial evaluation mismatch")
 
     return True
