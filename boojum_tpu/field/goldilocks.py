@@ -11,9 +11,10 @@ All ops are elementwise, shape-polymorphic, jit/vmap-friendly, and keep the
 canonical-representative invariant (value < p) on output.
 
 The same functions trace on CPU (for tests, under
-``--xla_force_host_platform_device_count``) and on TPU. Hot paths (mul) have a
-Pallas kernel twin in :mod:`boojum_tpu.field.pallas_kernels`; these jnp
-versions are the semantics-defining reference.
+``--xla_force_host_platform_device_count``) and on TPU. These jnp versions are
+the semantics-defining reference implementation; XLA fuses the limb arithmetic
+into surrounding kernels, and Pallas twins exist where fusion is not enough
+(:mod:`boojum_tpu.ntt.pallas_ntt`).
 """
 
 from __future__ import annotations

@@ -133,8 +133,14 @@ def distributed_commit_step(mesh: Mesh, log_n: int, lde_factor: int,
 
 
 def distributed_sum_reduce(mesh: Mesh):
-    """psum-based modular reduction of per-device partial sums (the pattern
-    lookup-denominator and grand-product accumulations ride on)."""
+    """Cross-device modular reduction of per-device partial sums (the
+    pattern lookup-denominator and grand-product accumulations ride on).
+
+    Modular add does not commute with jax.lax.psum's wraparound u32 adds, so
+    the reduction all_gathers the S per-device partials and folds them with
+    the carry-correct field add. The gathered fold is O(S) replicated work on
+    every device — fine for the partial-sum scalars this is used on (bytes,
+    not polynomials); the O(n) data never crosses devices."""
 
     def step(x_lo, x_hi):
         def inner(lo, hi):

@@ -586,7 +586,10 @@ class DeviceProver:
         pow_challenge = 0
         if new_pow_bits > 0:
             challenges = transcript.get_multiple_challenges(4)
-            pow_challenge = pow_mod.blake2s_pow(challenges, new_pow_bits)
+            grind = (pow_mod.keccak256_pow
+                     if self.proof_config.pow_hash == "keccak256"
+                     else pow_mod.blake2s_pow)
+            pow_challenge = grind(challenges, new_pow_bits)
             transcript.witness_field_elements(
                 [pow_challenge & 0xFFFFFFFF, pow_challenge >> 32])
 

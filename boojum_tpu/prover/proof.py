@@ -18,6 +18,8 @@ class ProofConfig:
     fri_folding_schedule: list | None = None
     security_level: int = 100
     pow_bits: int = 0
+    # grinding hash: "blake2s" (reference pow.rs:51) or "keccak256" (:140)
+    pow_hash: str = "blake2s"
 
 
 @dataclass
@@ -76,6 +78,11 @@ class VerificationKeyCircuitGeometry:
     # specialized (UniqueOnRow) gates: registry specs + (name, start, reps)
     specialized_evaluator_specs: list = None
     gate_spec_layout: list = None
+    # pinned proof parameters: when set, verify() rejects proofs whose
+    # proof_config declares a different security level / grinding
+    # (the proof_config inside a Proof is attacker-controlled)
+    security_level: int = None
+    pow_bits: int = None
 
 
 @dataclass
@@ -109,6 +116,7 @@ def proof_to_json(p: Proof) -> str:
             "merkle_tree_cap_size": p.proof_config.merkle_tree_cap_size,
             "security_level": p.proof_config.security_level,
             "pow_bits": p.proof_config.pow_bits,
+            "pow_hash": p.proof_config.pow_hash,
         },
         "public_inputs": [int(x) for x in p.public_inputs],
         "witness_oracle_cap": _cap_to_json(p.witness_oracle_cap),

@@ -160,6 +160,8 @@ def make_vk(cs: ConstraintSystem, setup_base: SetupBase,
         num_witness_polys=cs.geometry.num_witness_columns,
         num_constant_polys=setup_base.constant_columns.shape[0],
         num_multiplicity_polys=(1 if cs.lookup_parameters.lookup_is_allowed else 0),
+        security_level=proof_config.security_level,
+        pow_bits=proof_config.pow_bits,
     )
     return VerificationKey(fixed_parameters=fixed,
                            setup_merkle_tree_cap=setup_cap)
@@ -678,7 +680,10 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     pow_challenge = 0
     if new_pow_bits > 0:
         challenges = transcript.get_multiple_challenges(4)
-        pow_challenge = pow_mod.blake2s_pow(challenges, new_pow_bits)
+        grind = (pow_mod.keccak256_pow
+                 if proof_config.pow_hash == "keccak256"
+                 else pow_mod.blake2s_pow)
+        pow_challenge = grind(challenges, new_pow_bits)
         low = pow_challenge & 0xFFFFFFFF
         high = pow_challenge >> 32
         transcript.witness_field_elements([low, high])

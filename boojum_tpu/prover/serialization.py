@@ -100,6 +100,8 @@ def vk_to_json(vk: VerificationKey) -> str:
         "num_multiplicity_polys": f.num_multiplicity_polys,
         "specialized_evaluator_specs": f.specialized_evaluator_specs,
         "gate_spec_layout": f.gate_spec_layout,
+        "security_level": f.security_level,
+        "pow_bits": f.pow_bits,
         "setup_merkle_tree_cap": _cap_to_json(vk.setup_merkle_tree_cap),
     })
 
@@ -127,6 +129,8 @@ def vk_from_json(s: str) -> VerificationKey:
         num_multiplicity_polys=d["num_multiplicity_polys"],
         specialized_evaluator_specs=d.get("specialized_evaluator_specs"),
         gate_spec_layout=d.get("gate_spec_layout"),
+        security_level=d.get("security_level"),
+        pow_bits=d.get("pow_bits"),
     )
     return VerificationKey(fixed_parameters=fixed,
                            setup_merkle_tree_cap=_cap_from_json(
@@ -148,6 +152,7 @@ def proof_from_json(s: str) -> Proof:
             fri_lde_factor=d["proof_config"]["fri_lde_factor"],
             merkle_tree_cap_size=d["proof_config"]["merkle_tree_cap_size"],
             security_level=d["proof_config"]["security_level"],
+            pow_hash=d["proof_config"].get("pow_hash", "blake2s"),
             pow_bits=d["proof_config"]["pow_bits"]),
         public_inputs=d["public_inputs"],
         witness_oracle_cap=_cap_from_json(d["witness_oracle_cap"]),

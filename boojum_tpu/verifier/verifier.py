@@ -107,9 +107,48 @@ def build_evaluators(specs):
 
 
 def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2",
-           hasher: str = "poseidon2", _skip_gate_identity: bool = False,
+           hasher: str = "poseidon2", expected_proof_config=None,
+           _skip_gate_identity: bool = False,
            _identity_only: bool = False) -> bool:
+    """Top-level verification entry. Never raises on malformed proofs —
+    structural damage returns False (the reference also returns bool;
+    services verify untrusted proofs, so exceptions here are a DoS vector).
+    """
+    try:
+        return _verify_inner(vk, proof, transcript_kind, hasher,
+                             expected_proof_config, _skip_gate_identity,
+                             _identity_only)
+    except Exception as e:  # malformed structure: wrong lengths/types/etc.
+        return _fail(f"malformed proof ({type(e).__name__}: {e})")
+
+
+def _verify_inner(vk: VerificationKey, proof: Proof, transcript_kind: str,
+                  hasher: str, expected_proof_config,
+                  _skip_gate_identity: bool, _identity_only: bool) -> bool:
     fixed = vk.fixed_parameters
+
+    # -- proof_config is attacker-controlled: pin it down --------------------
+    # (reference verifier.rs:898-922 cross-checks lde factor / cap size vs
+    # VK; security_level/pow_bits are additionally pinned when the VK or the
+    # caller provides them)
+    pc = proof.proof_config
+    if pc.fri_lde_factor != fixed.fri_lde_factor:
+        return _fail("proof fri_lde_factor differs from VK")
+    if pc.merkle_tree_cap_size != fixed.cap_size:
+        return _fail("proof merkle cap size differs from VK")
+    if fixed.security_level is not None and (
+            pc.security_level != fixed.security_level
+            or pc.pow_bits != fixed.pow_bits):
+        return _fail("proof security parameters differ from VK pinned values")
+    if expected_proof_config is not None:
+        want = (expected_proof_config.fri_lde_factor,
+                expected_proof_config.merkle_tree_cap_size,
+                expected_proof_config.security_level,
+                expected_proof_config.pow_bits)
+        got = (pc.fri_lde_factor, pc.merkle_tree_cap_size,
+               pc.security_level, pc.pow_bits)
+        if want != got:
+            return _fail("proof config differs from expected_proof_config")
     n = fixed.domain_size
     log_n = n.bit_length() - 1
     qd = fixed.quotient_degree
@@ -128,6 +167,22 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     num_table = lp.lookup_width() + 1 if lp.lookup_is_allowed else 0
     num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
     num_intermediates = max(-(-num_var // qd) - 1, 0)
+
+    # -- structural checks (reference verifier.rs:1860,2427 analogues) ------
+    for cap in (vk.setup_merkle_tree_cap, proof.witness_oracle_cap,
+                proof.stage_2_oracle_cap, proof.quotient_oracle_cap,
+                proof.fri_base_oracle_cap,
+                *proof.fri_intermediate_oracles_caps):
+        if len(cap) != cap_size:
+            return _fail("oracle cap length != cap_size")
+    if len(proof.values_at_z_omega) != 1:
+        return _fail("values_at_z_omega count mismatch")
+    if len(proof.values_at_0) != (num_lookup_subargs + num_mult
+                                  if lp.lookup_is_allowed else 0):
+        return _fail("values_at_0 count mismatch")
+    if len(proof.final_fri_monomials) != 2 or \
+            len(proof.final_fri_monomials[0]) != len(proof.final_fri_monomials[1]):
+        return _fail("final fri monomials malformed")
 
     # -- transcript mirror --------------------------------------------------
     transcript = make_transcript(transcript_kind)
@@ -341,8 +396,11 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
     # -- PoW ----------------------------------------------------------------
     if new_pow_bits > 0:
         challenges = transcript.get_multiple_challenges(4)
-        if not pow_mod.verify_blake2s_pow(challenges, new_pow_bits,
-                                          proof.pow_challenge):
+        check_pow = (pow_mod.verify_keccak256_pow
+                     if proof.proof_config.pow_hash == "keccak256"
+                     else pow_mod.verify_blake2s_pow)
+        if not check_pow(challenges, new_pow_bits,
+                         proof.pow_challenge):
             return _fail("pow grinding check failed")
         transcript.witness_field_elements(
             [proof.pow_challenge & 0xFFFFFFFF, proof.pow_challenge >> 32])
@@ -385,11 +443,20 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
             else {"algo": hasher}
         return verify_path(query.proof, cap, lh, leaf_idx, **kwargs)
 
+    tree_depth = full_size.bit_length() - 1 - (cap_size.bit_length() - 1)
     for q in proof.queries_per_fri_repetition:
         bits = bools.get_bits(transcript, max_needed_bits)
         inner_idx = _u64_from_lsb(bits[:num_inner_bits])
         coset_idx = _u64_from_lsb(bits[num_inner_bits:])
         leaf_idx = coset_idx * n + inner_idx
+
+        # structural: path depth vs expected tree depth (verifier.rs:2427)
+        for oq in (q.witness_query, q.stage_2_query, q.quotient_query,
+                   q.setup_query):
+            if len(oq.proof) != tree_depth:
+                return _fail("oracle merkle path depth mismatch")
+        if len(q.fri_queries) != len(schedule):
+            return _fail("fri query layer count mismatch")
 
         num_witness_elems = num_var + num_wit + num_mult
         num_stage2_elems = 2 * (1 + num_intermediates + num_lookup_subargs + num_mult)
@@ -483,6 +550,10 @@ def verify(vk: VerificationKey, proof: Proof, transcript_kind: str = "poseidon2"
             elems_per_leaf = 1 << k
             if len(fq.leaf_elements) != 2 * elems_per_leaf:
                 return _fail("fri leaf length mismatch")
+            layer_depth = max((cur_full // elems_per_leaf).bit_length() - 1
+                              - (cap_size.bit_length() - 1), 0)
+            if len(fq.proof) != layer_depth:
+                return _fail("fri merkle path depth mismatch")
             flat = coset_idx * cur_domain + cur_inner
             leaf_i = flat // elems_per_leaf
             cap = proof.fri_base_oracle_cap if layer_i == 0 \
