@@ -63,13 +63,12 @@ class LookupTable:
     content: np.ndarray  # (num_rows, width) uint64
     num_keys: int
 
-    index: dict = field(default_factory=dict, repr=False)
+    # packed sorted-key index for vectorized lookups (built lazily)
+    _packed_sorted: np.ndarray = field(default=None, repr=False)
+    _sort_order: np.ndarray = field(default=None, repr=False)
 
     def __post_init__(self):
         self.content = np.asarray(self.content, np.uint64)
-        if not self.index:
-            for i, row in enumerate(self.content):
-                self.index[tuple(int(x) for x in row[:self.num_keys])] = i
 
     @property
     def width(self):
@@ -78,16 +77,38 @@ class LookupTable:
     def __len__(self):
         return self.content.shape[0]
 
+    def _pack(self, key_cols) -> np.ndarray:
+        """Pack key columns into one u64 (keys are table inputs — each fits
+        16 bits for every reference table shape; asserted when indexing)."""
+        packed = key_cols[0].astype(np.uint64)
+        for c in key_cols[1:]:
+            packed = (packed << np.uint64(16)) | c.astype(np.uint64)
+        return packed
+
+    def _ensure_index(self):
+        if self._packed_sorted is None:
+            keys = [self.content[:, i] for i in range(self.num_keys)]
+            for c in keys[1:]:
+                assert int(c.max(initial=0)) < (1 << 16), \
+                    "non-leading lookup key exceeds 16 bits"
+            packed = self._pack(keys)
+            order = np.argsort(packed, kind="stable")
+            self._sort_order = order
+            self._packed_sorted = packed[order]
+
     def lookup_rows(self, keys: np.ndarray) -> np.ndarray:
-        """keys: (num_keys, n) -> row indices (n,). Vectorized via dict in a
-        loop for now; tables are small (<= 2^16)."""
-        n = keys.shape[1]
-        out = np.empty(n, np.int64)
-        idx = self.index
-        cols = [keys[i] for i in range(self.num_keys)]
-        for j in range(n):
-            out[j] = idx[tuple(int(c[j]) for c in cols)]
-        return out
+        """keys: (num_keys, n) -> row indices (n,) via packed-key
+        searchsorted (vectorized; replaces the per-element dict loop)."""
+        self._ensure_index()
+        packed = self._pack([keys[i] for i in range(self.num_keys)])
+        pos = np.searchsorted(self._packed_sorted, packed)
+        if pos.size and (pos.max(initial=0) >= self._packed_sorted.size or
+                         not np.array_equal(self._packed_sorted[pos], packed)):
+            bad = np.nonzero(self._packed_sorted[
+                np.minimum(pos, self._packed_sorted.size - 1)] != packed)[0]
+            raise KeyError(f"lookup key not in table '{self.name}' "
+                           f"(first bad input index {int(bad[0])})")
+        return self._sort_order[pos]
 
     def lookup_values(self, keys: np.ndarray) -> np.ndarray:
         rows = self.lookup_rows(keys)
@@ -638,12 +659,15 @@ class ConstraintSystem:
                 ids = self.specialized_constants[0, :n_lookup_rows]
                 for r in np.nonzero(live)[0]:
                     table = self.get_table(int(ids[r]))
-                    key = tuple(int(block[i, r]) for i in range(table.num_keys))
-                    row_idx = table.index.get(key)
-                    if row_idx is None:
+                    key = np.asarray(
+                        [[block[i, r]] for i in range(table.num_keys)],
+                        np.uint64)
+                    try:
+                        row_idx = int(table.lookup_rows(key)[0])
+                    except KeyError:
                         ok = False
                         if verbose:
-                            print(f"lookup miss at rep {rep} row {r}: {key}")
+                            print(f"lookup miss at rep {rep} row {r}")
                         continue
                     want = table.content[row_idx]
                     got = tuple(int(block[i, r]) for i in range(pw))

@@ -267,6 +267,18 @@ class ReductionGate:
             cs, coeffs, np.asarray(terms, np.uint64).reshape(-1, 1))
         return int(out[0])
 
+    @staticmethod
+    def enforce_reduce_batch(cs, coeffs: list[int], terms_2d, outs):
+        """Place Σ coeff_i·term_i == out over EXISTING variables (no witness
+        generation — the enforce twin of reduce_terms_batch).
+        terms_2d: (N, n) handles; outs: (n,) handles."""
+        terms = np.asarray(terms_2d, np.uint64)
+        outs = np.asarray(outs, np.uint64).reshape(-1)
+        coeffs = [int(c) % npgl.ORDER for c in coeffs]
+        cs.place_general_gate_batch(
+            f"reduction_{len(coeffs)}", tuple(coeffs), coeffs,
+            np.concatenate([terms, outs[None, :]]).T)
+
 
 # ---------------------------------------------------------------------------
 # Boolean constraint: a*a == a

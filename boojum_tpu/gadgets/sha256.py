@@ -307,13 +307,220 @@ class Sha256Gadget:
         return chunks
 
 
+# ---------------------------------------------------------------------------
+# Batched witness-first pipeline
+# ---------------------------------------------------------------------------
+#
+# The constraint inventory is the same as the reference gadget
+# (round_function.rs): 4-bit chunked TriXor/Ch/Maj lookups, rotations via the
+# split-at-(r mod 4) decomposition with a Split4BitChunk seam lookup,
+# mod-2^32 additions range-reduced through 36-bit decompositions, deferred
+# 4-bit checks flushed in TriXor triples. The synthesis strategy differs:
+# the whole witness (every intermediate of every block) is computed first as
+# one vectorized numpy pass and registered as a single resolver node, then
+# each constraint family is placed with one batched gate/lookup call over
+# all (block x round) instances. This turns ~750k per-scalar resolver and
+# placement calls into ~60 array-sized ones.
+
+_C16 = [1, 1 << 4, 1 << 8, 1 << 12]
+_U = np.uint64
+
+
+def _ror32(v, r):
+    r = _U(r)
+    return ((v >> r) | (v << (_U(32) - r))) & _U(0xFFFFFFFF)
+
+
+def _chunks8(v):
+    """(n,) u32 values -> (n, 8) 4-bit chunk values."""
+    return np.stack([(v >> _U(4 * i)) & _U(0xF) for i in range(8)], axis=-1)
+
+
+def _rot_parts(v, rotation):
+    """Witness values of one rotation decomposition: (n,) -> (n, 13)
+    [low, a0..a6, high, t1, t2, seam_key, seam_rev]."""
+    m = rotation % 4
+    assert m != 0
+    low = v & _U((1 << m) - 1)
+    aligned = [(v >> _U(m + 4 * i)) & _U(0xF) for i in range(7)]
+    high = v >> _U(m + 28)
+    t1 = low + (aligned[0] << _U(m)) + (aligned[1] << _U(m + 4)) \
+        + (aligned[2] << _U(m + 8))
+    t2 = t1 + (aligned[3] << _U(m + 12)) + (aligned[4] << _U(m + 16)) \
+        + (aligned[5] << _U(m + 20))
+    if m in (1, 2):
+        skey = (high << _U(m)) | low
+        srev = (low << _U(4 - m)) | high
+    else:  # m == 3
+        skey = (low << _U(1)) | high
+        srev = (high << _U(3)) | low
+    return np.stack([low, *aligned, high, t1, t2, skey, srev], axis=-1)
+
+
+def _rot_chunks(v, rotation):
+    return _chunks8(_ror32(v, rotation))
+
+
+def _from_chunks_parts(word):
+    """(n,) u32 -> (n, 3) [low16, high16, word] reduce/fma temporaries."""
+    return np.stack([word & _U(0xFFFF), word >> _U(16), word], axis=-1)
+
+
+def _range36_parts(t):
+    """(n,) <2^36 values -> (n, 12) [chunk0..8, low16, high16, u32]."""
+    chunks = [(t >> _U(4 * i)) & _U(0xF) for i in range(9)]
+    u32 = t & _U(0xFFFFFFFF)
+    return np.stack([*chunks, u32 & _U(0xFFFF), u32 >> _U(16), u32], axis=-1)
+
+
+def _dec_parts(word):
+    """(n,) u32 -> (n, 10) [chunk0..7, low16, high16] decomposition temps."""
+    ch = [(word >> _U(4 * i)) & _U(0xF) for i in range(8)]
+    return np.stack([*ch, word & _U(0xFFFF), word >> _U(16)], axis=-1)
+
+
+def _sha256_witness(blocks: np.ndarray, init_state: np.ndarray) -> dict:
+    """blocks: (nb, 64) byte values -> ordered dict of every intermediate
+    the circuit allocates, vectorized over blocks. The same function runs at
+    synthesis and at witness playback (it is the body of the one resolver
+    node the gadget registers)."""
+    nb = blocks.shape[0]
+    out = {}
+
+    be = blocks.reshape(nb, 16, 4).astype(np.uint64)
+    W = np.zeros((nb, 64), _U)
+    W[:, :16] = (be[:, :, 0] << _U(24)) | (be[:, :, 1] << _U(16)) | \
+                (be[:, :, 2] << _U(8)) | be[:, :, 3]
+    sch_t = np.zeros((nb, 48), _U)
+    for i in range(16, 64):
+        x0, x1 = W[:, i - 15], W[:, i - 2]
+        s0 = _ror32(x0, 7) ^ _ror32(x0, 18) ^ (x0 >> _U(3))
+        s1 = _ror32(x1, 17) ^ _ror32(x1, 19) ^ (x1 >> _U(10))
+        t = s0 + s1 + W[:, i - 7] + W[:, i - 16]
+        sch_t[:, i - 16] = t
+        W[:, i] = t & _U(0xFFFFFFFF)
+    out["W"] = W
+    out["sch_t"] = sch_t
+    x0 = W[:, 1:49].reshape(-1)   # schedule sigma0 inputs, idx-major later
+    x1 = W[:, 14:62].reshape(-1)
+    for r in (7, 18):
+        out[f"rot_x0_{r}"] = _rot_parts(x0, r).reshape(nb, 48, 13)
+    for r in (17, 19, 10):
+        out[f"rot_x1_{r}"] = _rot_parts(x1, r).reshape(nb, 48, 13)
+    s0w = _ror32(x0, 7) ^ _ror32(x0, 18) ^ (x0 >> _U(3))
+    s1w = _ror32(x1, 17) ^ _ror32(x1, 19) ^ (x1 >> _U(10))
+    out["sch_s0x"] = _chunks8(s0w).reshape(nb, 48, 8)
+    out["sch_s1x"] = _chunks8(s1w).reshape(nb, 48, 8)
+    out["sch_s0w"] = _from_chunks_parts(s0w).reshape(nb, 48, 3)
+    out["sch_s1w"] = _from_chunks_parts(s1w).reshape(nb, 48, 3)
+    out["sch_hi"] = (sch_t[:, :46] >> _U(32))
+    out["sch_rc36"] = _range36_parts(sch_t[:, 46:48].reshape(-1)) \
+        .reshape(nb, 2, 12)
+
+    # rounds: chaining state is sequential across blocks
+    state_in = np.zeros((nb, 8), _U)
+    new_e = np.zeros((nb, 64), _U)
+    new_a = np.zeros((nb, 64), _U)
+    rnd = {k: np.zeros((nb, 64), _U)
+           for k in ("s1w_", "chw_", "s0w_", "majw_", "tmp1", "tmp1w",
+                     "te", "ta")}
+    fin_t = np.zeros((nb, 8), _U)
+    state_out = np.zeros((nb, 8), _U)
+    cur = init_state.astype(_U)
+    for b in range(nb):
+        state_in[b] = cur
+        a, bb, c, d, e, f, g, h = (int(x) for x in cur)
+        for r in range(64):
+            s1 = int(_ror32(_U(e), 6) ^ _ror32(_U(e), 11) ^ _ror32(_U(e), 25))
+            ch = (e & f) ^ ((~e & 0xFFFFFFFF) & g)
+            tmp1 = h + s1 + ch + ROUND_CONSTANTS[r]
+            tmp1w = tmp1 + int(W[b, r])
+            te = tmp1w + d
+            s0 = int(_ror32(_U(a), 2) ^ _ror32(_U(a), 13) ^ _ror32(_U(a), 22))
+            maj = (a & bb) ^ (a & c) ^ (bb & c)
+            ta = s0 + maj + tmp1w
+            rnd["s1w_"][b, r] = s1
+            rnd["chw_"][b, r] = ch
+            rnd["s0w_"][b, r] = s0
+            rnd["majw_"][b, r] = maj
+            rnd["tmp1"][b, r] = tmp1
+            rnd["tmp1w"][b, r] = tmp1w
+            rnd["te"][b, r] = te
+            rnd["ta"][b, r] = ta
+            ne, na = te & 0xFFFFFFFF, ta & 0xFFFFFFFF
+            new_e[b, r], new_a[b, r] = ne, na
+            h, g, f, e = g, f, e, ne
+            d, c, bb, a = c, bb, a, na
+        fin = np.asarray([a, bb, c, d, e, f, g, h], _U)
+        fin_t[b] = state_in[b] + fin
+        cur = fin_t[b] & _U(0xFFFFFFFF)
+        state_out[b] = cur
+
+    out["new_e"] = new_e
+    out["new_a"] = new_a
+    # rotation families over e_r / a_r for r in 0..63
+    e_in = np.concatenate([state_in[:, 4:5], new_e[:, :63]], axis=1).reshape(-1)
+    a_in = np.concatenate([state_in[:, 0:1], new_a[:, :63]], axis=1).reshape(-1)
+    for r in (6, 11, 25):
+        out[f"rot_e_{r}"] = _rot_parts(e_in, r).reshape(nb, 64, 13)
+    for r in (2, 13):
+        out[f"rot_a_{r}"] = _rot_parts(a_in, r).reshape(nb, 64, 13)
+    out["rnd_s1x"] = _chunks8(rnd["s1w_"].reshape(-1)).reshape(nb, 64, 8)
+    out["rnd_chx"] = _chunks8(rnd["chw_"].reshape(-1)).reshape(nb, 64, 8)
+    out["rnd_s0x"] = _chunks8(rnd["s0w_"].reshape(-1)).reshape(nb, 64, 8)
+    out["rnd_majx"] = _chunks8(rnd["majw_"].reshape(-1)).reshape(nb, 64, 8)
+    for k in ("s1w_", "chw_", "s0w_", "majw_"):
+        out["rnd_" + k] = _from_chunks_parts(rnd[k].reshape(-1)) \
+            .reshape(nb, 64, 3)
+    out["rnd_tmp1"] = rnd["tmp1"]
+    out["rnd_tmp1w"] = rnd["tmp1w"]
+    out["rnd_te"] = rnd["te"]
+    out["rnd_ta"] = rnd["ta"]
+    out["rnd_e36"] = _range36_parts(rnd["te"].reshape(-1)).reshape(nb, 64, 12)
+    out["rnd_a36"] = _range36_parts(rnd["ta"].reshape(-1)).reshape(nb, 64, 12)
+    out["fin_t"] = fin_t
+    out["fin_hi"] = fin_t >> _U(32)
+    out["state_out"] = state_out
+    out["state_dec"] = _dec_parts(state_out.reshape(-1)).reshape(nb, 8, 10)
+    out["init_dec"] = _dec_parts(init_state.astype(_U))
+
+    # digest bytes from the last block's state chunks (BE byte order)
+    dchunks = out["state_dec"][-1, :, :8]  # (8 words, 8 chunks)
+    dig = []
+    for w in range(8):
+        word_bytes = [(dchunks[w, 2 * i + 1] << _U(4)) | dchunks[w, 2 * i]
+                      for i in range(4)]
+        dig.extend(reversed(word_bytes))
+    out["digest"] = np.asarray(dig, _U)
+
+    # deferred 4-bit flush: inputs in fixed order, xor outputs as values
+    flush = np.concatenate([out["sch_hi"].reshape(-1),
+                            out["fin_hi"].reshape(-1),
+                            out["state_dec"][:, :, :8].reshape(-1),
+                            out["init_dec"][:, :8].reshape(-1)])
+    pad = (-flush.shape[0]) % 3
+    flush = np.concatenate([flush, np.zeros(pad, _U)])
+    tri = flush.reshape(-1, 3)
+    out["flush_x"] = tri[:, 0] ^ tri[:, 1] ^ tri[:, 2]
+    # rc36 chunk self-checks (3 triples per instance, 9 chunks each)
+    for k in ("sch_rc36", "rnd_e36", "rnd_a36"):
+        ch = out[k][..., :9].reshape(-1, 9)
+        out[k + "_x"] = ch[:, 0::3] ^ ch[:, 1::3] ^ ch[:, 2::3]
+    return out
+
+
+def _flatten_witness(wit: dict) -> np.ndarray:
+    return np.concatenate([v.reshape(-1) for v in wit.values()])
+
+
 def sha256(cs: ConstraintSystem, input_bytes_vars: np.ndarray,
            table_ids: dict) -> np.ndarray:
     """input_bytes_vars: (len,) byte variable handles (range-checked by the
     caller). Returns 32 byte variable handles of the digest.
 
-    Mirrors reference sha256/mod.rs:35: pad, per-block round_function,
-    recompose the digest from the final state's 4-bit chunks."""
+    Reference behavior: sha256/mod.rs:35 (pad, per-block round function,
+    digest recomposition); synthesis is the batched witness-first pipeline
+    described above."""
     g = Sha256Gadget(cs, table_ids)
     msg = [int(v) for v in input_bytes_vars]
     length = len(msg)
@@ -325,147 +532,269 @@ def sha256(cs: ConstraintSystem, input_bytes_vars: np.ndarray,
     for byte in (length * 8).to_bytes(8, "big"):
         msg.append(g.constant(byte))
     assert len(msg) % SHA256_BLOCK_SIZE == 0
-    num_blocks = len(msg) // SHA256_BLOCK_SIZE
+    nb = len(msg) // SHA256_BLOCK_SIZE
+    msg_h = np.asarray(msg, np.uint64)
 
-    state = [g.constant(x) for x in INITIAL_STATE]
-    final_chunks = None
-    one = g.constant(1)
+    init_state = np.asarray(INITIAL_STATE, _U)
+    init_state_h = np.asarray([g.constant(x) for x in INITIAL_STATE], _U)
 
-    for blk in range(num_blocks):
-        block = msg[blk * 64:(blk + 1) * 64]
-        # u32 words from big-endian bytes
-        words = []
-        for i in range(16):
-            b0, b1, b2, b3 = block[4 * i:4 * i + 4]
-            t = ReductionGate.reduce_terms(
-                cs, [1 << 24, 1 << 16, 1 << 8, 1], [b0, b1, b2, b3])
-            words.append(t)
-        final_chunks = _round_function(cs, g, state, words,
-                                       last_round=(blk == num_blocks - 1))
+    # -- witness pass ---------------------------------------------------------
+    byte_vals = cs.get_values(msg_h)
+    wit = _sha256_witness(byte_vals.reshape(nb, 64), init_state)
+    flat_vals = _flatten_witness(wit)
+    all_h = cs.alloc_variables(flat_vals.shape[0])
 
-    # digest bytes from final 4-bit chunks (LE chunk pairs, BE byte order)
-    output = []
-    for w in range(8):
-        word_chunks = final_chunks[8 * w:8 * (w + 1)]
-        word_bytes = []
-        for i in range(4):
-            lo, hi = int(word_chunks[2 * i]), int(word_chunks[2 * i + 1])
-            byte = FmaGate.compute_fma(cs, 1 << 4, (one, hi), 1, lo)
-            word_bytes.append(byte)
-        output.extend(reversed(word_bytes))
-    return np.asarray(output, np.uint64)
+    def witness_fn(vals):
+        return _flatten_witness(_sha256_witness(
+            np.asarray(vals, _U).reshape(nb, 64), init_state))
+
+    cs.set_values_with_dependencies(msg_h, all_h, witness_fn)
+
+    # unpack handles with the witness layout
+    h = {}
+    off = 0
+    for k, v in wit.items():
+        h[k] = all_h[off:off + v.size].reshape(v.shape)
+        off += v.size
+    assert off == all_h.shape[0]
+
+    _place_constraints(cs, g, h, msg_h, init_state_h, nb)
+    return h["digest"]
 
 
-def _round_function(cs, g: Sha256Gadget, state: list, message_words: list,
-                    last_round: bool):
-    """One 512-bit block (reference round_function.rs:54)."""
+def _enforce_rotation(cs, g, v_h, fam, rotation):
+    """fam: (n, 13) part handles; returns (n, 8) rotated chunk handles and
+    the (low, high) pieces (reference split_and_rotate, batched)."""
+    m, k = rotation % 4, rotation // 4
+    n = fam.shape[0]
+    low, aligned, high = fam[:, 0], fam[:, 1:8], fam[:, 8]
+    t1, t2, skey, srev = fam[:, 9], fam[:, 10], fam[:, 11], fam[:, 12]
     zero = g.constant(0)
+    zeros = np.full(n, zero, _U)
+    ReductionGate.enforce_reduce_batch(
+        cs, [1, 1 << m, 1 << (m + 4), 1 << (m + 8)],
+        np.stack([low, aligned[:, 0], aligned[:, 1], aligned[:, 2]]), t1)
+    ReductionGate.enforce_reduce_batch(
+        cs, [1, 1 << (m + 12), 1 << (m + 16), 1 << (m + 20)],
+        np.stack([t1, aligned[:, 3], aligned[:, 4], aligned[:, 5]]), t2)
+    ReductionGate.enforce_reduce_batch(
+        cs, [1, 1 << (m + 24), 1 << (m + 28), 0],
+        np.stack([t2, aligned[:, 6], high, zeros]), v_h)
+    if m in (1, 2):
+        cs.enforce_lookup_batch(g.t[f"split{m}"],
+                                np.stack([skey, low, high, srev]))
+        seam = srev
+    else:
+        cs.enforce_lookup_batch(g.t["split1"],
+                                np.stack([skey, high, low, srev]))
+        seam = skey
+    rotated = np.concatenate(
+        [aligned[:, k:7], seam[:, None], aligned[:, :k]], axis=1)
+    return rotated, low, high
+
+
+def _enforce_from_chunks(cs, g, chunks, fam3):
+    """chunks: (n, 8); fam3: (n, 3) [low16, high16, word]."""
     one = g.constant(1)
+    ones = np.full(fam3.shape[0], one, _U)
+    ReductionGate.enforce_reduce_batch(cs, _C16, chunks[:, :4].T, fam3[:, 0])
+    ReductionGate.enforce_reduce_batch(cs, _C16, chunks[:, 4:8].T, fam3[:, 1])
+    FmaGate.enforce_fma_batch(cs, 1 << 16, (ones, fam3[:, 1]), 1,
+                              fam3[:, 0], fam3[:, 2])
 
-    expanded = list(message_words) + [None] * 48
-    pending_chunks = []
 
-    for idx in range(16, SHA256_ROUNDS):
-        t0 = expanded[idx - 15]
-        rot7, _, rot7_high = g.split_and_rotate(t0, 7)
-        rot18, _, _ = g.split_and_rotate(t0, 18)
-        shifted3 = np.empty(8, np.uint64)
-        for i in range(7):
-            shifted3[i] = rot7[(7 + i) % 8]
-        shifted3[7] = rot7_high
-        s0_chunks = g._tri_xor_batch(rot7, rot18, shifted3)
+def _enforce_range36(cs, g, t_h, u32_h, fam12):
+    """t == Σ chunk_i·16^i over 9 chunks; u32 part bound to u32_h.
+    fam12: (n, 12) [chunk0..8, low16, high16, u32] (u32 slot == u32_h)."""
+    one = g.constant(1)
+    n = fam12.shape[0]
+    ones = np.full(n, one, _U)
+    chunks = fam12[:, :9]
+    ReductionGate.enforce_reduce_batch(cs, _C16, chunks[:, :4].T, fam12[:, 9])
+    ReductionGate.enforce_reduce_batch(cs, _C16, chunks[:, 4:8].T, fam12[:, 10])
+    FmaGate.enforce_fma_batch(cs, 1 << 16, (ones, fam12[:, 10]), 1,
+                              fam12[:, 9], u32_h)
+    FmaGate.enforce_fma_batch(cs, 1 << 32, (ones, chunks[:, 8]), 1,
+                              u32_h, t_h)
 
-        t1 = expanded[idx - 2]
-        rot17, _, _ = g.split_and_rotate(t1, 17)
-        rot19, _, _ = g.split_and_rotate(t1, 19)
-        rot10, _, rot10_high = g.split_and_rotate(t1, 10)
-        shifted10 = rot10.copy()
-        shifted10[7] = zero
-        shifted10[6] = zero
-        shifted10[5] = rot10_high
-        s1_chunks = g._tri_xor_batch(rot17, rot19, shifted10)
 
-        s0, s1 = (int(x) for x in g.uint32_from_4bit_chunks_batch(
-            np.stack([s0_chunks, s1_chunks])))
+def _enforce_dec(cs, g, word_h, fam10):
+    """word == Σ chunk_i·16^i over 8 chunks. fam10: (n, 10)."""
+    one = g.constant(1)
+    ones = np.full(fam10.shape[0], one, _U)
+    ReductionGate.enforce_reduce_batch(cs, _C16, fam10[:, :4].T, fam10[:, 8])
+    ReductionGate.enforce_reduce_batch(cs, _C16, fam10[:, 4:8].T, fam10[:, 9])
+    FmaGate.enforce_fma_batch(cs, 1 << 16, (ones, fam10[:, 9]), 1,
+                              fam10[:, 8], word_h)
 
-        word = ReductionGate.reduce_terms(
-            cs, [1, 1, 1, 1], [s0, s1, expanded[idx - 7], expanded[idx - 16]])
-        if idx + 2 >= 64:
-            u32_part, _ = g.range_check_36(word)
-        else:
-            u32_part, high = g.split_36_unchecked(word)
-            pending_chunks.append(high)
-        expanded[idx] = u32_part
 
-    g.range_check_chunks(pending_chunks)
-    pending_chunks = []
+def _place_constraints(cs, g, h, msg_h, init_state_h, nb):
+    one = g.constant(1)
+    zero = g.constant(0)
+    W = h["W"]
 
-    a, b, c, d, e, f, gg, h = state
+    # message words from big-endian bytes
+    be = msg_h.reshape(nb, 16, 4)
+    ReductionGate.enforce_reduce_batch(
+        cs, [1 << 24, 1 << 16, 1 << 8, 1],
+        be.reshape(-1, 4).T, W[:, :16].reshape(-1))
 
-    for rnd in range(SHA256_ROUNDS):
-        e_rot6, _, _ = g.split_and_rotate(e, 6)
-        e_rot11, _, _ = g.split_and_rotate(e, 11)
-        e_rot25, _, _ = g.split_and_rotate(e, 25)
-        s1_chunks = g._tri_xor_batch(e_rot6, e_rot11, e_rot25)
+    # -- message schedule -----------------------------------------------------
+    x0 = W[:, 1:49].reshape(-1)
+    x1 = W[:, 14:62].reshape(-1)
+    rot7, _, rot7_hi = _enforce_rotation(cs, g, x0, h["rot_x0_7"].reshape(-1, 13), 7)
+    rot18, _, _ = _enforce_rotation(cs, g, x0, h["rot_x0_18"].reshape(-1, 13), 18)
+    shifted3 = np.concatenate(
+        [rot7[:, 7:8], rot7[:, 0:6], rot7_hi[:, None]], axis=1)
+    s0x = h["sch_s0x"].reshape(-1, 8)
+    cs.enforce_lookup_batch(g.t["tri_xor"], np.stack([
+        rot7.reshape(-1), rot18.reshape(-1), shifted3.reshape(-1),
+        s0x.reshape(-1)]))
 
-        e_d = g.uint32_into_4bit_chunks(e)
-        f_d = g.uint32_into_4bit_chunks(f)
-        g_d = g.uint32_into_4bit_chunks(gg)
-        ch_chunks = g.ch_batch(e_d, f_d, g_d)
-        s1, ch = (int(x) for x in g.uint32_from_4bit_chunks_batch(
-            np.stack([s1_chunks, ch_chunks])))
+    rot17, _, _ = _enforce_rotation(cs, g, x1, h["rot_x1_17"].reshape(-1, 13), 17)
+    rot19, _, _ = _enforce_rotation(cs, g, x1, h["rot_x1_19"].reshape(-1, 13), 19)
+    rot10, _, rot10_hi = _enforce_rotation(cs, g, x1, h["rot_x1_10"].reshape(-1, 13), 10)
+    n = rot10.shape[0]
+    zeros = np.full((n, 1), zero, _U)
+    shifted10 = np.concatenate(
+        [rot10[:, 0:5], rot10_hi[:, None], zeros, zeros], axis=1)
+    s1x = h["sch_s1x"].reshape(-1, 8)
+    cs.enforce_lookup_batch(g.t["tri_xor"], np.stack([
+        rot17.reshape(-1), rot19.reshape(-1), shifted10.reshape(-1),
+        s1x.reshape(-1)]))
 
-        rc = g.constant(ROUND_CONSTANTS[rnd])
-        tmp1 = ReductionGate.reduce_terms(cs, [1, 1, 1, 1], [h, s1, ch, rc])
-        tmp1 = FmaGate.compute_fma(cs, 1, (one, tmp1), 1, expanded[rnd])
-        t = FmaGate.compute_fma(cs, 1, (one, tmp1), 1, d)
-        new_e, _ = g.range_check_36(t)
+    _enforce_from_chunks(cs, g, s0x, h["sch_s0w"].reshape(-1, 3))
+    _enforce_from_chunks(cs, g, s1x, h["sch_s1w"].reshape(-1, 3))
 
-        a_rot2, _, _ = g.split_and_rotate(a, 2)
-        a_rot13, _, _ = g.split_and_rotate(a, 13)
-        a_rot22 = np.empty(8, np.uint64)
-        for i in range(8):
-            a_rot22[i] = a_rot2[(i + 5) % 8]
-        s0_chunks = g._tri_xor_batch(a_rot2, a_rot13, a_rot22)
+    # word sums: t = s0 + s1 + W[i-7] + W[i-16]
+    ReductionGate.enforce_reduce_batch(
+        cs, [1, 1, 1, 1],
+        np.stack([h["sch_s0w"][:, :, 2].reshape(-1),
+                  h["sch_s1w"][:, :, 2].reshape(-1),
+                  W[:, 9:57].reshape(-1), W[:, 0:48].reshape(-1)]),
+        h["sch_t"].reshape(-1))
+    # split: W[idx] + 2^32·hi == t (idx 16..61), full 36-bit check for 62, 63
+    ones46 = np.full(nb * 46, one, _U)
+    FmaGate.enforce_fma_batch(
+        cs, 1 << 32, (ones46, h["sch_hi"].reshape(-1)), 1,
+        W[:, 16:62].reshape(-1), h["sch_t"][:, :46].reshape(-1))
+    _enforce_range36(cs, g, h["sch_t"][:, 46:48].reshape(-1),
+                     W[:, 62:64].reshape(-1), h["sch_rc36"].reshape(-1, 12))
 
-        a_d = g.uint32_into_4bit_chunks(a)
-        b_d = g.uint32_into_4bit_chunks(b)
-        c_d = g.uint32_into_4bit_chunks(c)
-        maj_chunks = g.maj_batch(a_d, b_d, c_d)
-        s0, maj = (int(x) for x in g.uint32_from_4bit_chunks_batch(
-            np.stack([s0_chunks, maj_chunks])))
+    # -- rounds ---------------------------------------------------------------
+    state_in = np.concatenate([init_state_h[None, :], h["state_out"][:-1]],
+                              axis=0)  # (nb, 8)
+    new_e, new_a = h["new_e"], h["new_a"]
+    e_in = np.concatenate([state_in[:, 4:5], new_e[:, :63]], axis=1).reshape(-1)
+    a_in = np.concatenate([state_in[:, 0:1], new_a[:, :63]], axis=1).reshape(-1)
 
-        t = ReductionGate.reduce_terms(cs, [1, 1, 1, 0], [s0, maj, tmp1, zero])
-        new_a, _ = g.range_check_36(t)
+    e6, _, _ = _enforce_rotation(cs, g, e_in, h["rot_e_6"].reshape(-1, 13), 6)
+    e11, _, _ = _enforce_rotation(cs, g, e_in, h["rot_e_11"].reshape(-1, 13), 11)
+    e25, _, _ = _enforce_rotation(cs, g, e_in, h["rot_e_25"].reshape(-1, 13), 25)
+    s1x = h["rnd_s1x"].reshape(-1, 8)
+    cs.enforce_lookup_batch(g.t["tri_xor"], np.stack([
+        e6.reshape(-1), e11.reshape(-1), e25.reshape(-1), s1x.reshape(-1)]))
 
-        h, gg, f, e, d, c, b, a = gg, f, e, new_e, c, b, a, new_a
+    a2, _, _ = _enforce_rotation(cs, g, a_in, h["rot_a_2"].reshape(-1, 13), 2)
+    a13, _, _ = _enforce_rotation(cs, g, a_in, h["rot_a_13"].reshape(-1, 13), 13)
+    a22 = np.concatenate([a2[:, 5:8], a2[:, 0:5]], axis=1)  # roll by 5
+    s0x = h["rnd_s0x"].reshape(-1, 8)
+    cs.enforce_lookup_batch(g.t["tri_xor"], np.stack([
+        a2.reshape(-1), a13.reshape(-1), a22.reshape(-1), s0x.reshape(-1)]))
 
-    # add into chaining state
-    final_d_dec = None
-    final_h_dec = None
-    for idx, src in enumerate([a, b, c, d, e, f, gg, h]):
-        tmp = FmaGate.compute_fma(cs, 1, (one, state[idx]), 1, src)
-        tmp, high = g.split_36_unchecked(tmp)
-        pending_chunks.append(high)
-        if idx == 3:
-            final_d_dec = g.range_check_u32(tmp)
-        if idx == 7:
-            final_h_dec = g.range_check_u32(tmp)
-        state[idx] = tmp
-    g.range_check_chunks(pending_chunks)
+    # e/f/g and a/b/c chunk sequences (init decs + range36 chunks)
+    state_in_dec = np.concatenate(
+        [h["init_dec"][None, :, :8], h["state_dec"][:-1, :, :8]], axis=0)
+    e_seq = np.concatenate([state_in_dec[:, 6:7], state_in_dec[:, 5:6],
+                            state_in_dec[:, 4:5],
+                            h["rnd_e36"][:, :63, :8]], axis=1)  # (nb, 66, 8)
+    a_seq = np.concatenate([state_in_dec[:, 2:3], state_in_dec[:, 1:2],
+                            state_in_dec[:, 0:1],
+                            h["rnd_a36"][:, :63, :8]], axis=1)
+    # ch(e,f,g) at round r: e=seq[r+2], f=seq[r+1], g=seq[r]
+    chx = h["rnd_chx"].reshape(-1)
+    cs.enforce_lookup_batch(g.t["ch"], np.stack([
+        e_seq[:, 2:66].reshape(-1), e_seq[:, 1:65].reshape(-1),
+        e_seq[:, 0:64].reshape(-1), chx]))
+    majx = h["rnd_majx"].reshape(-1)
+    cs.enforce_lookup_batch(g.t["maj"], np.stack([
+        a_seq[:, 2:66].reshape(-1), a_seq[:, 1:65].reshape(-1),
+        a_seq[:, 0:64].reshape(-1), majx]))
 
-    if not last_round:
-        return None
+    for k in ("rnd_s1w_", "rnd_chw_", "rnd_s0w_", "rnd_majw_"):
+        xk = "rnd_" + k[4:-2] + "x"
+        _enforce_from_chunks(cs, g, h[xk].reshape(-1, 8),
+                             h[k].reshape(-1, 3))
 
-    le_chunks = []
-    for idx, el in enumerate(state):
-        if idx == 3:
-            le_chunks.extend(final_d_dec)
-        elif idx == 7:
-            le_chunks.extend(final_h_dec)
-        else:
-            le_chunks.extend(g.uint32_into_4bit_chunks(el))
-    # range check the 6 not-yet-checked words' chunks (48 chunks)
-    to_check = le_chunks[:24] + le_chunks[32:56]
-    g.range_check_chunks([int(x) for x in to_check])
-    return np.asarray(le_chunks, np.uint64)
+    # tmp1 = h + s1 + ch + K[r]
+    rc_h = np.asarray([g.constant(x) for x in ROUND_CONSTANTS], _U)
+    e_words = np.concatenate(  # e-lineage: e_{-3}..e_{63}
+        [state_in[:, 7:8], state_in[:, 6:7], state_in[:, 5:6],
+         state_in[:, 4:5], new_e[:, :63]], axis=1)  # (nb, 67)
+    a_words = np.concatenate(
+        [state_in[:, 3:4], state_in[:, 2:3], state_in[:, 1:2],
+         state_in[:, 0:1], new_a[:, :63]], axis=1)
+    h_r = e_words[:, 0:64].reshape(-1)
+    d_r = a_words[:, 0:64].reshape(-1)
+    ReductionGate.enforce_reduce_batch(
+        cs, [1, 1, 1, 1],
+        np.stack([h_r, h["rnd_s1w_"][:, :, 2].reshape(-1),
+                  h["rnd_chw_"][:, :, 2].reshape(-1),
+                  np.tile(rc_h, nb)]),
+        h["rnd_tmp1"].reshape(-1))
+    nr = nb * 64
+    ones_r = np.full(nr, one, _U)
+    FmaGate.enforce_fma_batch(cs, 1, (ones_r, h["rnd_tmp1"].reshape(-1)), 1,
+                              W.reshape(-1), h["rnd_tmp1w"].reshape(-1))
+    FmaGate.enforce_fma_batch(cs, 1, (ones_r, h["rnd_tmp1w"].reshape(-1)), 1,
+                              d_r, h["rnd_te"].reshape(-1))
+    _enforce_range36(cs, g, h["rnd_te"].reshape(-1), new_e.reshape(-1),
+                     h["rnd_e36"].reshape(-1, 12))
+    zeros_r = np.full(nr, zero, _U)
+    ReductionGate.enforce_reduce_batch(
+        cs, [1, 1, 1, 0],
+        np.stack([h["rnd_s0w_"][:, :, 2].reshape(-1),
+                  h["rnd_majw_"][:, :, 2].reshape(-1),
+                  h["rnd_tmp1w"].reshape(-1), zeros_r]),
+        h["rnd_ta"].reshape(-1))
+    _enforce_range36(cs, g, h["rnd_ta"].reshape(-1), new_a.reshape(-1),
+                     h["rnd_a36"].reshape(-1, 12))
+
+    # -- chaining -------------------------------------------------------------
+    fin = np.stack([new_a[:, 63], new_a[:, 62], new_a[:, 61], new_a[:, 60],
+                    new_e[:, 63], new_e[:, 62], new_e[:, 61], new_e[:, 60]],
+                   axis=1)  # (nb, 8) final a..h
+    ones_f = np.full(nb * 8, one, _U)
+    FmaGate.enforce_fma_batch(cs, 1, (ones_f, state_in.reshape(-1)), 1,
+                              fin.reshape(-1), h["fin_t"].reshape(-1))
+    FmaGate.enforce_fma_batch(cs, 1 << 32, (ones_f, h["fin_hi"].reshape(-1)),
+                              1, h["state_out"].reshape(-1),
+                              h["fin_t"].reshape(-1))
+    _enforce_dec(cs, g, h["state_out"].reshape(-1),
+                 h["state_dec"].reshape(-1, 10))
+    _enforce_dec(cs, g, init_state_h, h["init_dec"])
+
+    # digest bytes: byte = chunk_lo + 16·chunk_hi (BE order within words)
+    dchunks = h["state_dec"][-1, :, :8]
+    lo = np.stack([dchunks[w, 2 * i] for w in range(8) for i in (3, 2, 1, 0)])
+    hi = np.stack([dchunks[w, 2 * i + 1] for w in range(8)
+                   for i in (3, 2, 1, 0)])
+    ones_d = np.full(32, one, _U)
+    FmaGate.enforce_fma_batch(cs, 1 << 4, (ones_d, hi), 1, lo, h["digest"])
+
+    # -- deferred 4-bit flush -------------------------------------------------
+    flush = np.concatenate([h["sch_hi"].reshape(-1),
+                            h["fin_hi"].reshape(-1),
+                            h["state_dec"][:, :, :8].reshape(-1),
+                            h["init_dec"][:, :8].reshape(-1)])
+    pad = (-flush.shape[0]) % 3
+    flush = np.concatenate([flush, np.full(pad, zero, _U)])
+    tri = flush.reshape(-1, 3)
+    cs.enforce_lookup_batch(g.t["tri_xor"], np.stack(
+        [tri[:, 0], tri[:, 1], tri[:, 2], h["flush_x"]]))
+    for k in ("sch_rc36", "rnd_e36", "rnd_a36"):
+        ch = h[k][..., :9].reshape(-1, 9)
+        xs = h[k + "_x"].reshape(-1, 3)
+        cs.enforce_lookup_batch(g.t["tri_xor"], np.stack([
+            ch[:, 0::3].reshape(-1), ch[:, 1::3].reshape(-1),
+            ch[:, 2::3].reshape(-1), xs.reshape(-1)]))

@@ -333,3 +333,137 @@ def distributed_grand_product(mesh: Mesh, n: int):
         )(c0l, c0h, c1l, c1h)
 
     return jax.jit(step)
+
+
+def distributed_intt(mesh: Mesh, log_n: int, batch: int):
+    """Jitted sharded inverse NTT: bitreversed row-sharded evals (n, B) ->
+    natural row-sharded coefficients. Mirrors distributed_ntt in reverse
+    (ntt.intt_fourstep_cols composition): local iNTT_{n2} over p2, divide the
+    cross twiddles, all_to_all to collect full p1 columns, local iNTT_{n1},
+    all_to_all back to natural contiguous j-blocks.
+
+    Optionally un-scales a coset afterwards via the factored power columns
+    (pass all-ones for the plain domain)."""
+    from ..utils import npgl
+
+    n_shards = mesh.devices.size
+    log_n1, log_n2 = _fourstep_split(log_n, n_shards)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n1_loc, n2_loc = n1 // n_shards, n2 // n_shards
+    tw_lo, tw_hi = fourstep_cross_twiddles(log_n, n_shards)
+    tw = tw_lo.astype(np.uint64) | (tw_hi.astype(np.uint64) << np.uint64(32))
+    tw_inv = npgl.batch_inv(tw.reshape(-1)).reshape(n1, n2)
+    twi_lo = (tw_inv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    twi_hi = (tw_inv >> np.uint64(32)).astype(np.uint32)
+
+    def step(y_lo, y_hi, pj1_lo, pj1_hi, pj2_lo, pj2_hi):
+        def inner(lo, hi, p1l, p1h, p2l, p2h, twl, twh):
+            b = lo.shape[1]
+            # rows: contiguous p1-block of the (p1, p2) flatten
+            y = GL(lo.reshape(n1_loc, n2, b), hi.reshape(n1_loc, n2, b))
+            # local pass 1: iNTT_{n2} over p2 for every local p1 row
+            yt = GL(jnp.swapaxes(y.lo, 0, 1).reshape(n2, n1_loc * b),
+                    jnp.swapaxes(y.hi, 0, 1).reshape(n2, n1_loc * b))
+            yt = ntt.intt_cols(yt, ntt.get_plan(log_n2))
+            s1 = GL(jnp.swapaxes(yt.lo.reshape(n2, n1_loc, b), 0, 1),
+                    jnp.swapaxes(yt.hi.reshape(n2, n1_loc, b), 0, 1))
+            # divide cross twiddles (p1-sharded slice via in_specs)
+            wi = GL(twl[:, :, None], twh[:, :, None])
+            s1 = gl.mul(s1, wi)  # (n1_loc, n2, b)
+            # transpose: collect ALL p1 for this device's j2 block
+            sl = s1.lo.reshape(n1_loc, n_shards, n2_loc, b)
+            sh = s1.hi.reshape(n1_loc, n_shards, n2_loc, b)
+            sl = jax.lax.all_to_all(sl, AXIS, 1, 0, tiled=False)
+            sh = jax.lax.all_to_all(sh, AXIS, 1, 0, tiled=False)
+            a = GL(sl.reshape(n1, n2_loc * b), sh.reshape(n1, n2_loc * b))
+            # local pass 2: iNTT_{n1} over p1 -> natural j1
+            a = ntt.intt_cols(a, ntt.get_plan(log_n1))
+            a = a.reshape(n1, n2_loc, b)
+            # transpose back: natural contiguous j1-blocks per device
+            al = a.lo.reshape(n_shards, n1_loc, n2_loc, b)
+            ah = a.hi.reshape(n_shards, n1_loc, n2_loc, b)
+            al = jax.lax.all_to_all(al, AXIS, 0, 1, tiled=False)
+            ah = jax.lax.all_to_all(ah, AXIS, 0, 1, tiled=False)
+            # (n1_loc, S, n2_loc, b) -> (n1_loc, n2, b)
+            x = GL(al.reshape(n1_loc, n2, b), ah.reshape(n1_loc, n2, b))
+            # coset un-scale: x_j /= coset^{j} = pj1[j1]·pj2[j2] (inverted
+            # factors passed in)
+            p1f = GL(p1l, p1h)[:, None, None]
+            p2f = GL(p2l, p2h)[None, :, None]
+            x = gl.mul(gl.mul(x, p1f), p2f)
+            return x.lo.reshape(n1_loc * n2, b), x.hi.reshape(n1_loc * n2, b)
+
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
+                      P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)),
+            check_vma=False,
+        )(y_lo, y_hi, pj1_lo, pj1_hi, pj2_lo, pj2_hi,
+          jnp.asarray(twi_lo), jnp.asarray(twi_hi))
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Sharded Merkle tree: leaf hashing + sub-cap layers local per shard, top
+# layers replicated. Returns every layer so query paths work as on a single
+# device (DeviceTree interface).
+# ---------------------------------------------------------------------------
+
+
+def sharded_tree_layers(mesh: Mesh, m: int, k_padded: int, cap_size: int):
+    """Jitted builder: leaf columns (k, m) row(m)-sharded -> list of tree
+    layers [(4, m), (4, m/2), ..., (4, cap_size)]; layers of width > S
+    stay sharded over the mesh axis, smaller ones are replicated."""
+    from ..prover.device_merkle import (_leaf_hashes_traced,
+                                        _node_layer_traced)
+
+    n_shards = mesh.devices.size
+    m_loc = m // n_shards
+    assert m_loc * n_shards == m and m_loc >= 1
+    local_stop = max(1, cap_size // n_shards)  # cap nodes per shard (>= 1)
+    num_sharded_levels = 1 + (m_loc // local_stop).bit_length() - 1
+
+    def step(cols_lo, cols_hi):
+        def inner(lo, hi):
+            leaves = _leaf_hashes_traced(GL(lo, hi))  # (4, m_loc)
+            outs = [leaves.lo, leaves.hi]
+            cur = leaves
+            while cur.lo.shape[1] > local_stop:
+                cur = _node_layer_traced(cur)
+                outs.extend((cur.lo, cur.hi))
+            if cap_size < n_shards:
+                # per-shard root ring -> replicated top layers
+                top_lo = jax.lax.all_gather(cur.lo[:, 0], AXIS, axis=1)
+                top_hi = jax.lax.all_gather(cur.hi[:, 0], AXIS, axis=1)
+                cur = GL(top_lo, top_hi)  # (4, S)
+                while cur.lo.shape[1] > cap_size:
+                    cur = _node_layer_traced(cur)
+                    outs.extend((cur.lo, cur.hi))
+            return tuple(outs)
+
+        num_rep_levels = max((n_shards.bit_length() - 1)
+                             - (cap_size.bit_length() - 1), 0)
+        out_specs = tuple([P(None, AXIS)] * (2 * num_sharded_levels)
+                          + [P(None, None)] * (2 * num_rep_levels))
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(None, AXIS), P(None, AXIS)),
+            out_specs=out_specs,
+            check_vma=False,
+        )(cols_lo, cols_hi)
+
+    return jax.jit(step)
+
+
+def build_sharded_tree(mesh: Mesh, cols: GL, cap_size: int):
+    """Poseidon2 Merkle-cap tree over row-sharded leaf columns (k, m);
+    returns a DeviceTree whose wide layers are mesh-sharded arrays."""
+    from ..prover.device_merkle import DeviceTree, _pad_cols_to_rate
+
+    cols = _pad_cols_to_rate(cols)
+    k, m = cols.shape
+    outs = sharded_tree_layers(mesh, m, k, cap_size)(cols.lo, cols.hi)
+    layers = [(outs[2 * i], outs[2 * i + 1]) for i in range(len(outs) // 2)]
+    return DeviceTree(layers)
