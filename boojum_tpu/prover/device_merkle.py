@@ -205,7 +205,7 @@ def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
 
 
 def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
-                  cap_size: int, hasher: str):
+                  cap_size: int, hasher: str, mesh=None):
     """Device-resident do_fri: one tree dispatch + one fold dispatch per
     schedule entry; bit-identical to fri.do_fri on the same input."""
     from .fri import FriResult, _inverse_roots_bitreversed
@@ -225,7 +225,11 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
         size = cur0.lo.shape[0]
         cl, ch = _fri_leaf_cols_jit(size, 1 << k)(cur0.lo, cur0.hi,
                                                   cur1.lo, cur1.hi)
-        tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
+        if mesh is not None and size // (1 << k) >= mesh.devices.size:
+            from ..parallel.sharding import build_sharded_tree
+            tree = build_sharded_tree(mesh, GL(cl, ch), cap_size)
+        else:
+            tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
         return DeviceFlatOracle(cur0, cur1, 1 << k, tree)
 
     cur0, cur1 = c0, c1

@@ -38,7 +38,8 @@ from .prover import (ProvingArtifacts, _BoolsBuffer, _s2, _u64_from_lsb,
 P = npgl.ORDER
 
 
-def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2"):
+def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2",
+                        mesh=None):
     """Device-resident setup oracle + VK (cap identical to the host path —
     the tree is the same; only where the layers live differs)."""
     from .prover import make_vk
@@ -47,8 +48,14 @@ def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2"):
                            setup_base.constant_columns,
                            setup_base.lookup_tables_columns], axis=0)
     lde = max(proof_config.fri_lde_factor, setup_base.quotient_degree)
-    oracle = DeviceOracle(cols, lde, proof_config.merkle_tree_cap_size, hasher,
-                          tree_lde=proof_config.fri_lde_factor)
+    if mesh is not None:
+        from ..parallel.sharded_oracle import ShardedOracle
+        oracle = ShardedOracle(cols, lde, proof_config.merkle_tree_cap_size,
+                               hasher, mesh,
+                               tree_lde=proof_config.fri_lde_factor)
+    else:
+        oracle = DeviceOracle(cols, lde, proof_config.merkle_tree_cap_size,
+                              hasher, tree_lde=proof_config.fri_lde_factor)
     vk = make_vk(cs, setup_base, proof_config, oracle.get_cap())
     return ProvingArtifacts(setup_base=setup_base, setup_oracle=oracle,
                             vk=vk)
@@ -56,7 +63,12 @@ def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2"):
 
 class DeviceProver:
     def __init__(self, cs: ConstraintSystem, artifacts: ProvingArtifacts,
-                 proof_config: ProofConfig):
+                 proof_config: ProofConfig, mesh=None):
+        """mesh: optional 1-D jax.sharding.Mesh — when given, oracles, NTTs,
+        the grand-product scan and Merkle trees run sharded over the mesh
+        (the multi-chip path, BASELINE configs[4]); proof bytes are identical
+        to the single-device path."""
+        self.mesh = mesh
         sb = artifacts.setup_base
         self.cs = cs
         self.artifacts = artifacts
@@ -78,6 +90,16 @@ class DeviceProver:
         self.num_intermediates = max(-(-self.num_var // self.qd) - 1, 0)
         self.non_res = non_residues_for_copy_permutation(self.n, self.num_var)
         self._gate_jits = {}
+
+    def _make_oracle(self, cols_u64, lde, cap_size, hasher, tree_lde=None,
+                     monomials=None):
+        if self.mesh is not None:
+            from ..parallel.sharded_oracle import ShardedOracle
+            return ShardedOracle(cols_u64, lde, cap_size, hasher,
+                                 self.mesh, tree_lde=tree_lde,
+                                 monomials=monomials)
+        return DeviceOracle(cols_u64, lde, cap_size, hasher,
+                            tree_lde=tree_lde, monomials=monomials)
 
     # -- per-gate-repetition jit --------------------------------------------
 
@@ -145,8 +167,8 @@ class DeviceProver:
 
         witness_src = np.concatenate(
             [variables_cols, witness_cols, mult_cols], axis=0)
-        witness_oracle = DeviceOracle(witness_src, used_lde, cap_size, hasher,
-                                      tree_lde=fri_lde)
+        witness_oracle = self._make_oracle(witness_src, used_lde, cap_size,
+                                           hasher, tree_lde=fri_lde)
         transcript.witness_merkle_tree_cap(witness_oracle.get_cap())
 
         _stage("witness oracle")
@@ -195,8 +217,12 @@ class DeviceProver:
         total = chunks[0]
         for c in chunks[1:]:
             total = total * c
-        from .jit_ops import jgrand_product_exclusive
-        z_ev = EV(*jgrand_product_exclusive(*total.a))
+        if self.mesh is not None:
+            from ..parallel.sharding import distributed_grand_product
+            z_ev = EV(*distributed_grand_product(self.mesh, n)(*total.a))
+        else:
+            from .jit_ops import jgrand_product_exclusive
+            z_ev = EV(*jgrand_product_exclusive(*total.a))
         stage2_evs = [z_ev]
         prev = z_ev
         for c in chunks[:-1]:
@@ -234,9 +260,14 @@ class DeviceProver:
         s2_hi = jnp.stack([a for ev_ in stage2_evs for a in (ev_.a[1], ev_.a[3])],
                           axis=1)
         stage2_base = GL(s2_lo, s2_hi)
-        stage2_monos = device.cols_to_monomials(stage2_base)
-        stage2_oracle = DeviceOracle(None, used_lde, cap_size, hasher,
-                                     tree_lde=fri_lde, monomials=stage2_monos)
+        if self.mesh is not None:
+            from ..parallel.sharded_oracle import sharded_cols_to_monomials
+            stage2_monos = sharded_cols_to_monomials(self.mesh, stage2_base)
+        else:
+            stage2_monos = device.cols_to_monomials(stage2_base)
+        stage2_oracle = self._make_oracle(None, used_lde, cap_size, hasher,
+                                          tree_lde=fri_lde,
+                                          monomials=stage2_monos)
         transcript.witness_merkle_tree_cap(stage2_oracle.get_cap())
 
         _stage("stage2+3")
@@ -379,7 +410,12 @@ class DeviceProver:
         scale_pows = gl.from_u64(npgl.powers(omega, n))
         z_shift_mono = gl.mul(z_mono, GL(scale_pows.lo[:, None],
                                          scale_pows.hi[:, None]))
-        zs_lde = device.monomials_to_lde(z_shift_mono, qd).reshape(size, 2)
+        if self.mesh is not None:
+            from ..parallel.sharded_oracle import sharded_monomials_to_lde
+            zs_lde = sharded_monomials_to_lde(
+                self.mesh, z_shift_mono, qd).reshape(size, 2)
+        else:
+            zs_lde = device.monomials_to_lde(z_shift_mono, qd).reshape(size, 2)
         z_shift = EV(zs_lde.lo[:, 0], zs_lde.hi[:, 0],
                      zs_lde.lo[:, 1], zs_lde.hi[:, 1])
 
@@ -434,8 +470,8 @@ class DeviceProver:
             qcols_lo.append(q1.lo[k * n:(k + 1) * n, 0])
             qcols_hi.append(q1.hi[k * n:(k + 1) * n, 0])
         q_monos = GL(jnp.stack(qcols_lo, axis=1), jnp.stack(qcols_hi, axis=1))
-        quotient_oracle = DeviceOracle(None, fri_lde, cap_size, hasher,
-                                       monomials=q_monos)
+        quotient_oracle = self._make_oracle(None, fri_lde, cap_size, hasher,
+                                            monomials=q_monos)
         transcript.witness_merkle_tree_cap(quotient_oracle.get_cap())
 
         _stage("quotient")
@@ -577,7 +613,8 @@ class DeviceProver:
         if hasher == "poseidon2":
             from .device_merkle import do_fri_device
             fri_result = do_fri_device(h.a, transcript, schedule,
-                                       fri_lde, cap_size, hasher)
+                                       fri_lde, cap_size, hasher,
+                                       mesh=self.mesh)
         else:
             h_host = h.to_host()
             fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,

@@ -1,0 +1,134 @@
+"""Multi-chip sharded prover: kernel equality (fast) and end-to-end
+byte-identity with the single-device path (slow — compiles many shard_map
+programs on the virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from boojum_tpu.field import goldilocks as gl
+from boojum_tpu.ntt import ntt
+from boojum_tpu.parallel import sharding as sh
+from boojum_tpu.utils import npgl
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh")
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return sh.make_mesh()
+
+
+def _factors(log_n, S, coset):
+    out = sh.coset_power_factors(log_n, S, coset)
+    return tuple(jnp.asarray(x) for x in out)
+
+
+def test_distributed_intt_matches_single_device(mesh):
+    S = mesh.devices.size
+    log_n, B = 9, 3
+    x = gl.from_u64(RNG.integers(0, npgl.ORDER, (1 << log_n, B),
+                                 dtype=np.uint64))
+    ones = _factors(log_n, S, 1)
+    y = sh.distributed_ntt(mesh, log_n, B)(x.lo, x.hi, *ones)
+    ref = ntt.ntt_cols(x, ntt.get_plan(log_n))
+    assert np.array_equal(np.asarray(y[0]), np.asarray(ref.lo))
+    xi = sh.distributed_intt(mesh, log_n, B)(y[0], y[1], *ones)
+    assert np.array_equal(np.asarray(xi[0]), np.asarray(x.lo))
+    assert np.array_equal(np.asarray(xi[1]), np.asarray(x.hi))
+
+    coset = 7
+    ci = int(pow(coset, npgl.ORDER - 2, npgl.ORDER))
+    yc = ntt.coset_ntt_cols(x, coset, ntt.get_plan(log_n))
+    xi2 = sh.distributed_intt(mesh, log_n, B)(
+        yc.lo, yc.hi, *_factors(log_n, S, ci))
+    ref_c = ntt.coset_intt_cols(yc, coset, ntt.get_plan(log_n))
+    assert np.array_equal(np.asarray(xi2[0]), np.asarray(ref_c.lo))
+
+
+def test_sharded_tree_matches_device_tree(mesh):
+    from boojum_tpu.prover.device_merkle import build_device_tree
+    k, m = 11, 1 << 9
+    cols = gl.from_u64(RNG.integers(0, npgl.ORDER, (k, m), dtype=np.uint64))
+    for cap in (16, 4):
+        t_ref = build_device_tree(cols, cap)
+        t_sh = sh.build_sharded_tree(mesh, cols, cap)
+        assert t_ref.get_cap() == t_sh.get_cap()
+        for idx in (0, 5, 100, m - 1):
+            assert t_ref.get_proof(idx) == t_sh.get_proof(idx)
+
+
+def _build_circuit(filler: int = 400):
+    from boojum_tpu.cs.cs import ConstraintSystem, CSConfig, LookupTable
+    from boojum_tpu.cs.geometry import CSGeometry, LookupParameters
+    from boojum_tpu.cs.gates import (BooleanConstraintGate,
+                                     ConstantsAllocatorGate, FmaGate, NopGate,
+                                     PublicInputGate, ReductionGate,
+                                     SelectionGate)
+    P = npgl.ORDER
+    geom = CSGeometry(16, 0, 4, 4)
+    cs = ConstraintSystem(geom, 1 << 12, CSConfig.dev())
+    cs.allow_lookup(
+        LookupParameters.specialized_with_table_id_as_constant(3, 2))
+    for g in (ConstantsAllocatorGate, FmaGate, BooleanConstraintGate,
+              SelectionGate, PublicInputGate, NopGate):
+        cs.allow_gate(g)
+    cs.allow_gate(ReductionGate, params=4)
+    aa, bb = np.meshgrid(np.arange(32, dtype=np.uint64),
+                         np.arange(32, dtype=np.uint64), indexing="ij")
+    rows = np.stack([aa.reshape(-1), bb.reshape(-1),
+                     (aa ^ bb).reshape(-1)], axis=1)
+    tid = cs.add_lookup_table(LookupTable("xor5", rows, num_keys=2))
+    rng = np.random.default_rng(5)
+    bits = BooleanConstraintGate.allocate_batch(
+        cs, rng.integers(0, 2, 64).tolist())
+    a = cs.alloc_variables_with_values(rng.integers(0, P, 64, dtype=np.uint64))
+    b = cs.alloc_variables_with_values(rng.integers(0, P, 64, dtype=np.uint64))
+    sel = SelectionGate.select_batch(cs, a, b, bits)
+    c = cs.alloc_variables_with_values(rng.integers(0, P, 64, dtype=np.uint64))
+    d = FmaGate.compute_fma_batch(cs, 3, (sel, c), 5, sel)
+    ReductionGate.reduce_terms_batch(
+        cs, [1, 2, 3, 4], np.stack([a[:16], b[:16], c[:16], d[:16]]))
+    xa = cs.alloc_variables_with_values(rng.integers(0, 32, 32, dtype=np.uint64))
+    xb = cs.alloc_variables_with_values(rng.integers(0, 32, 32, dtype=np.uint64))
+    xr = cs.alloc_variables_with_values(cs.get_values(xa) ^ cs.get_values(xb))
+    cs.enforce_lookup_batch(tid, np.stack([xa, xb, xr]))
+    PublicInputGate.place(cs, int(d[0]))
+    if filler:
+        fv = cs.alloc_variables_with_values(
+            rng.integers(0, P, filler, dtype=np.uint64))
+        FmaGate.compute_fma_batch(cs, 1, (fv, fv), 1, fv)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+    return cs
+
+
+@pytest.mark.slow
+def test_sharded_prove_byte_identical(mesh):
+    from boojum_tpu.cs.setup import create_base_setup
+    from boojum_tpu.prover import ProofConfig
+    from boojum_tpu.prover.device_prover import (DeviceProver,
+                                                 create_device_setup)
+    from boojum_tpu.prover.proof import proof_to_json
+    from boojum_tpu.verifier import verify
+
+    cfg = ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=8,
+                      security_level=100)
+    cs1 = _build_circuit()
+    art1 = create_device_setup(cs1, create_base_setup(cs1), cfg, "poseidon2")
+    p1 = DeviceProver(cs1, art1, cfg).prove("poseidon2", "poseidon2")
+    assert verify(art1.vk, p1, "poseidon2", "poseidon2")
+
+    cs2 = _build_circuit()
+    art2 = create_device_setup(cs2, create_base_setup(cs2), cfg, "poseidon2",
+                               mesh=mesh)
+    assert art2.vk.setup_merkle_tree_cap == art1.vk.setup_merkle_tree_cap
+    p2 = DeviceProver(cs2, art2, cfg, mesh=mesh).prove("poseidon2",
+                                                       "poseidon2")
+    assert verify(art2.vk, p2, "poseidon2", "poseidon2")
+    assert proof_to_json(p1) == proof_to_json(p2)
