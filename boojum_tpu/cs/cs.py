@@ -151,6 +151,33 @@ def _lookup_columns_cleanup(cs: "ConstraintSystem", final_len: int):
     cs.lookup_next_row = final_len
 
 
+def _general_lookup_partial_row_cleanup(cs: "ConstraintSystem", final_len: int):
+    """Fill partially-occupied general-purpose lookup rows with real lookups
+    of the row's own table (first content row), counting multiplicities — the
+    general-mode analogue of the reference's pad_partial_rows
+    (lookup_marker.rs LookupFinalizationHint). Unlike specialized mode there
+    is no full-row padding: rows without the marker gate have selector 0 and
+    contribute nothing to the A polys."""
+    lp = cs.lookup_parameters
+    tool = cs.tooling.get("lookup_formal", {})
+    marker = cs.evaluators_general[cs.general_idx_by_name["lookup_formal"]]
+    cap = marker.num_repetitions(cs.geometry)
+    for key in list(tool.keys()):
+        _, tid = key
+        table_id = tid if lp.id_in_constant else INITIAL_LOOKUP_TABLE_ID_VALUE
+        table = cs.get_table(table_id)
+        _, count = tool[key]
+        num_to_add = cap - count
+        first = table.content[0]
+        if cs.config.evaluate_witness:
+            vs = cs.alloc_variables_with_values(np.tile(first, num_to_add))
+        else:
+            vs = cs.alloc_variables(num_to_add * table.width)
+        kv = vs.reshape(num_to_add, table.width).T
+        cs._enforce_lookup_general_batch(table_id, kv)
+        assert key not in tool, "partial lookup row not filled"
+
+
 class ConstraintSystem:
     def __init__(self, geometry: CSGeometry, max_trace_len: int,
                  config: CSConfig = None, max_variables: int = 1 << 26):
@@ -197,6 +224,7 @@ class ConstraintSystem:
         self.static_tools: dict[str, dict] = {}
         self.lookup_tooling: list = []  # per table: None | (row, count)
         self.lookup_next_row = 0
+        self.table_ids_as_variables: list[int] = []  # id-as-variable modes
 
         self.lookup_tables: list[LookupTable] = []
         self.lookup_multiplicities: list[np.ndarray] = []
@@ -285,6 +313,17 @@ class ConstraintSystem:
             # (A(x)·(Σγⁱcolᵢ+β) == 1 holds on ALL rows — reference
             # lookup_marker.rs:259 columns_finalization_function)
             self.columns_cleanups.append(_lookup_columns_cleanup)
+        elif not params.is_specialized:
+            # GENERAL-PURPOSE lookups: the LookupFormalGate marker must be
+            # general evaluator 0 (reference compute_table_ids_column_idxes,
+            # setup.rs:963, asserts lookup_table_evaluator_idx == 0)
+            assert len(self.evaluators_general) == 0, \
+                "allow_lookup (general-purpose) must precede gate registration"
+            from .gates.simple import LookupMarkerEvaluator
+            self.allow_evaluator(LookupMarkerEvaluator(
+                params.columns_per_subargument(), params.id_in_constant),
+                "general")
+            self.columns_cleanups.append(_general_lookup_partial_row_cleanup)
         return self
 
     # -- variables -----------------------------------------------------------
@@ -428,6 +467,14 @@ class ConstraintSystem:
         self.lookup_tables.append(table)
         self.lookup_multiplicities.append(np.zeros(len(table), np.int64))
         self.lookup_tooling.append(None)
+        if not self.lookup_parameters.id_in_constant:
+            # id-as-variable: a formal constant-valued variable holds the id
+            # (reference cs.rs:978 — allocate_constant per table)
+            assert self.gate_is_allowed("constants_allocator"), \
+                "id-as-variable lookups need the constants_allocator gate"
+            from .gates.simple import ConstantsAllocatorGate
+            self.table_ids_as_variables.append(
+                ConstantsAllocatorGate.allocate_constant(self, table_id))
         return table_id
 
     def get_table(self, table_id: int) -> LookupTable:
@@ -438,13 +485,17 @@ class ConstraintSystem:
 
     def enforce_lookup_batch(self, table_id: int, keys_and_values: np.ndarray):
         """keys_and_values: (width, n) variable handles; counts multiplicities
-        and places n lookup instances in the specialized columns.
+        and places n lookup instances in the specialized columns (or on
+        general-purpose rows under the LookupFormalGate for the
+        TableIdAsConstant/TableIdAsVariable modes).
 
         Mirrors enforce_lookup_over_specialized_columns
         (src/cs/implementations/lookup_placement.rs:112) batched.
         """
         lp = self.lookup_parameters
-        assert lp.is_specialized and lp.id_in_constant
+        if not lp.is_specialized:
+            return self._enforce_lookup_general_batch(table_id, keys_and_values)
+        assert lp.id_in_constant
         tbl_idx = table_id - INITIAL_LOOKUP_TABLE_ID_VALUE
         kv = np.asarray(keys_and_values, np.uint64)
         width, n = kv.shape
@@ -499,6 +550,49 @@ class ConstraintSystem:
         if not lp.share_table_id:
             raise NotImplementedError("per-repetition table id columns")
 
+    def _count_lookup_multiplicities(self, table_id: int, kv: np.ndarray):
+        tbl_idx = table_id - INITIAL_LOOKUP_TABLE_ID_VALUE
+        table = self.lookup_tables[tbl_idx]
+        mults = self.lookup_multiplicities[tbl_idx]
+        num_keys = table.num_keys
+
+        def count_fn(vals):
+            rows = table.lookup_rows(vals[:num_keys])
+            np.add.at(mults, rows, 1)
+            return np.zeros((0,), np.uint64)
+
+        self.resolver.add_resolution(kv, np.zeros((0,), np.uint64), count_fn)
+
+    def _enforce_lookup_general_batch(self, table_id: int,
+                                      keys_and_values: np.ndarray):
+        """Place lookups on general-purpose rows under the LookupFormalGate
+        (reference enforce_lookup_over_general_purpose_columns,
+        src/cs/implementations/lookup_placement.rs:21): chunks of
+        columns_per_subargument copy columns per instance; the row's gate is
+        the marker; id-as-constant writes the table id as the row constant,
+        id-as-variable appends the table's formal id variable to the chunk."""
+        lp = self.lookup_parameters
+        kv = np.asarray(keys_and_values, np.uint64)
+        width, n = kv.shape
+        assert width == lp.width
+
+        if self.config.evaluate_witness:
+            self._count_lookup_multiplicities(table_id, kv)
+        if not self.config.keep_setup:
+            return
+        if lp.id_in_constant:
+            vars_2d = kv.T
+            key = ("table", table_id)
+            constants = [table_id]
+        else:
+            idv = self.table_ids_as_variables[
+                table_id - INITIAL_LOOKUP_TABLE_ID_VALUE]
+            vars_2d = np.concatenate(
+                [kv.T, np.full((n, 1), idv, np.uint64)], axis=1)
+            key = ("table", 0)  # one shared tooling slot (lookup_placement.rs:73)
+            constants = []
+        self.place_general_gate_batch("lookup_formal", key, constants, vars_2d)
+
     def enforce_lookup(self, table_id: int, keys_and_values):
         kv = np.asarray(keys_and_values, np.uint64).reshape(-1, 1)
         self.enforce_lookup_batch(table_id, kv)
@@ -535,11 +629,49 @@ class ConstraintSystem:
         self.resolver = new
         self.recount_multiplicities()
 
+    def _general_lookup_live_chunks(self):
+        """Yield (table_id, values_block (cps, k)) for every live lookup
+        chunk on general-purpose marker rows (placement + current values)."""
+        lp = self.lookup_parameters
+        marker_idx = self.general_idx_by_name["lookup_formal"]
+        cps = lp.columns_per_subargument()
+        app = np.asarray(self.gates_application_sets, np.int64)
+        rows = np.nonzero(app == marker_idx)[0]
+        if rows.size == 0:
+            return
+        cap = self.geometry.num_columns_under_copy_permutation // cps
+        vals = self.resolver.values
+        for chunk in range(cap):
+            handles = self.copy_permutation_data[
+                chunk * cps:(chunk + 1) * cps][:, rows]
+            live = (handles[0] & np.uint64(places.PLACEHOLDER_BIT)) == 0
+            if not live.any():
+                continue
+            block = vals[places.index_of(handles[:, live])]
+            if lp.id_in_constant:
+                ids = np.asarray(
+                    [self.constants_requested_per_row[r][0]
+                     for r in rows[live]], np.uint64)
+            else:
+                ids = block[cps - 1]
+            yield ids, block
+
     def recount_multiplicities(self):
         """Recount lookup multiplicities from the CURRENT witness values of
         every placed lookup instance (needed after replay_witness)."""
         lp = self.lookup_parameters
-        if not (lp.lookup_is_allowed and lp.is_specialized):
+        if not lp.lookup_is_allowed:
+            return
+        if not lp.is_specialized:
+            for m in self.lookup_multiplicities:
+                m[:] = 0
+            for ids, block in self._general_lookup_live_chunks():
+                for tid in np.unique(ids):
+                    table = self.get_table(int(tid))
+                    sel = ids == tid
+                    rows_ = table.lookup_rows(block[:table.num_keys][:, sel])
+                    np.add.at(self.lookup_multiplicities[
+                        int(tid) - INITIAL_LOOKUP_TABLE_ID_VALUE], rows_, 1)
             return
         for m in self.lookup_multiplicities:
             m[:] = 0
@@ -646,8 +778,31 @@ class ConstraintSystem:
                                 rows = np.nonzero(bad)[0][:5]
                                 print(f"specialized gate {name} rep {rep} "
                                       f"term {t_i} violated at rows {rows}")
-        # lookup membership
+        # lookup membership (general-purpose rows)
         lp = self.lookup_parameters
+        if lp.lookup_is_allowed and not lp.is_specialized:
+            for ids, block in self._general_lookup_live_chunks():
+                for tid in np.unique(ids):
+                    table = self.get_table(int(tid))
+                    sel = ids == tid
+                    sub = block[:, sel]
+                    try:
+                        rows_ = table.lookup_rows(sub[:table.num_keys])
+                    except KeyError:
+                        ok = False
+                        if verbose:
+                            print(f"general lookup key miss (table {tid})")
+                        continue
+                    want = table.content[rows_].T
+                    if not np.array_equal(sub[:table.width], want):
+                        ok = False
+                        if verbose:
+                            print(f"general lookup value mismatch (table {tid})")
+                    if not lp.id_in_constant and \
+                            not np.all(sub[table.width] == tid):
+                        ok = False
+                        if verbose:
+                            print("general lookup id variable mismatch")
         if lp.is_specialized and self.specialized_copy_data is not None:
             pw = lp.specialized_columns_per_repetition()
             n_lookup_rows = self.lookup_next_row

@@ -39,6 +39,38 @@ class NopEvaluator(GateEvaluator):
         return []
 
 
+class LookupMarkerEvaluator(GateEvaluator):
+    """LookupFormalGate marker for GENERAL-PURPOSE lookups (reference
+    src/cs/gates/lookup_marker.rs:39 LookupGateMarkerFormalEvaluator).
+
+    Occupies general rows whose copy columns hold lookup chunks; contributes
+    no gate quotient terms itself — the lookup argument's A-poly relations
+    reference this gate's selector-tree path product. The selector tree gives
+    it degree max(depth, 2) (GateDescription.is_lookup in cs/setup.py).
+    """
+
+    name = "lookup_formal"
+    needs_selector = True
+    num_quotient_terms = 0
+    max_constraint_degree = 1
+
+    def __init__(self, cps: int, id_in_constant: bool):
+        self.num_variables = cps  # principal width: width (+1 id-as-variable)
+        self.num_constants = 1 if id_in_constant else 0
+
+    def num_repetitions(self, geometry):
+        return geometry.num_columns_under_copy_permutation // self.num_variables
+
+    def num_required_constants(self, geometry):
+        return self.num_constants
+
+    def evaluate(self, src, ops):
+        return []
+
+    def spec_params(self):
+        return (self.num_variables, self.num_constants)
+
+
 class NopGate:
     @staticmethod
     def make_evaluator():

@@ -61,6 +61,12 @@ class LookupParameters:
             return 0
         return self.width + (0 if self.id_in_constant else 1)
 
+    def columns_per_subargument(self) -> int:
+        """Variable columns per sub-argument in GENERAL-PURPOSE modes
+        (reference src/cs/mod.rs:293 columns_per_subargument)."""
+        assert self.lookup_is_allowed and not self.is_specialized
+        return self.width + (0 if self.id_in_constant else 1)
+
     def total_specialized_lookup_variable_columns(self) -> int:
         return self.specialized_columns_per_repetition() * self.num_repetitions
 
@@ -82,6 +88,16 @@ class LookupParameters:
     @staticmethod
     def table_id_as_constant(width: int, share_table_id: bool = True):
         return LookupParameters("table_id_as_constant", width, 0, share_table_id)
+
+    @staticmethod
+    def table_id_as_variable(width: int, share_table_id: bool = False):
+        return LookupParameters("table_id_as_variable", width, 0, share_table_id)
+
+    @staticmethod
+    def specialized_with_table_id_as_variable(width: int, num_repetitions: int,
+                                              share_table_id: bool = False):
+        return LookupParameters("specialized_id_as_variable", width,
+                                num_repetitions, share_table_id)
 
 
 def num_multiplicity_polys(lookup_params: LookupParameters, total_tables_len: int,

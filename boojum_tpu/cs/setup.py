@@ -293,18 +293,36 @@ def create_constant_setup_polys(cs: ConstraintSystem, n: int):
         if cs.specialized_constants is not None else 0
     total = num_general_consts + num_spec_consts
     cols = np.zeros((total, n), np.uint64)
-    app = cs.gates_application_sets
-    for row in range(min(len(app), n)):
-        path = paths[app[row]]
-        consts = cs.constants_requested_per_row[row]
-        j = 0
-        for bit in path:
-            if bit:
-                cols[j, row] = 1
-            j += 1
-        for c in consts:
-            cols[j, row] = c
-            j += 1
+    app = np.asarray(cs.gates_application_sets, np.int64)[:n]
+    nrows = app.shape[0]
+
+    # selector-path bits: one gather per evaluator-indexed bit table
+    max_path = max((len(p) for p in paths), default=0)
+    path_bits = np.zeros((len(paths), max_path), np.uint64)
+    path_lens = np.zeros(len(paths), np.int64)
+    for i, p in enumerate(paths):
+        path_lens[i] = len(p)
+        for j, bit in enumerate(p):
+            path_bits[i, j] = 1 if bit else 0
+    if max_path:
+        cols[:max_path, :nrows] = path_bits[app].T
+
+    # per-row gate constants land right after the row's path bits; group rows
+    # by (path length, constants length) and scatter each group vectorized
+    consts_list = cs.constants_requested_per_row
+    lens = np.fromiter((len(consts_list[r]) for r in range(nrows)),
+                       np.int64, nrows)
+    offs = path_lens[app]
+    for L in np.unique(lens):
+        if L == 0:
+            continue
+        rows_l = np.nonzero(lens == L)[0]
+        block = np.asarray([consts_list[r] for r in rows_l],
+                           np.uint64)  # (m, L)
+        row_offs = offs[rows_l]
+        for j in range(L):
+            cols[row_offs + j, rows_l] = block[:, j]
+
     if num_spec_consts:
         cols[num_general_consts:, :] = cs.specialized_constants[:, :n]
     return cols, tree, paths, quotient_degree_general, num_general_consts
@@ -333,17 +351,25 @@ def create_base_setup(cs: ConstraintSystem) -> SetupBase:
     sigmas = create_permutation_polys(cs, n)
     tables = create_lookup_tables_columns(cs, n)
 
-    # quotient degree: general gates + specialized gates (lookup formal gate
-    # relation A·(Σγⁱcolᵢ+β)-1 is degree 2 → contributes 1)
-    q_spec = 1 if cs.lookup_parameters.is_specialized else 0
+    # quotient degree: general gates + specialized gates (lookup B relation
+    # B·(Σγⁱtᵢ+β)-m is degree 2 → contributes 1; the general-purpose A
+    # relation's selector-product degree is already in the tree stats)
+    q_spec = 1 if cs.lookup_parameters.lookup_is_allowed else 0
     for ev in cs.evaluators_specialized:
         q_spec = max(q_spec, ev.max_constraint_degree - 1)
     q = max(q_general, q_spec, 1)
     quotient_degree = 1 << (q - 1).bit_length()
 
+    # reference compute_table_ids_column_idxes (setup.rs:963)
     table_id_idx = []
-    if cs.lookup_parameters.is_specialized and cs.lookup_parameters.id_in_constant:
-        table_id_idx = [num_general_consts]
+    lp = cs.lookup_parameters
+    if lp.lookup_is_allowed and lp.id_in_constant:
+        if lp.is_specialized:
+            table_id_idx = [num_general_consts]
+        else:
+            # general-purpose: the marker gate (evaluator 0) places the id
+            # constant at offset 0 of its constant segment
+            table_id_idx = [len(paths[0])]
 
     return SetupBase(
         copy_permutation_polys=sigmas,

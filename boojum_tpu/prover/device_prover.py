@@ -196,69 +196,117 @@ class DeviceProver:
         def col(m, j):
             return m.lo[:, j], m.hi[:, j]
 
-        chunks = []
-        for c in range(self.num_intermediates + 1):
-            num_acc = EV.const((1, 0), (n,))
-            den_acc = EV.const((1, 0), (n,))
-            for j in range(c * qd, min((c + 1) * qd, self.num_var)):
-                w_lo, w_hi = col(vars_dev, j)
-                nr = scalar_ext((self.non_res[j], 0))
-                bx_lo, bx_hi = jbase_mul(
-                    x_dev.lo, x_dev.hi,
-                    jnp.broadcast_to(jnp.uint32(nr[0, 0]), (n,)),
-                    jnp.broadcast_to(jnp.uint32(nr[0, 1]), (n,)))
-                num_j = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
-                s_lo, s_hi = col(sig_dev, j)
-                den_j = EV(*jaffine(w_lo, w_hi, s_lo, s_hi, beta_a, gamma_a))
-                num_acc = num_acc * num_j
-                den_acc = den_acc * den_j
-            chunks.append(num_acc * den_acc.inv())
-
-        total = chunks[0]
-        for c in chunks[1:]:
-            total = total * c
-        if self.mesh is not None:
-            from ..parallel.sharding import distributed_grand_product
-            z_ev = EV(*distributed_grand_product(self.mesh, n)(*total.a))
-        else:
-            from .jit_ops import jgrand_product_exclusive
-            z_ev = EV(*jgrand_product_exclusive(*total.a))
-        stage2_evs = [z_ev]
-        prev = z_ev
-        for c in chunks[:-1]:
-            prev = prev * c
-            stage2_evs.append(prev)
-
+        # lookup configuration (shared with the quotient stage below)
+        width = pw = base_off = 0
+        sel_base = None
+        tbl_dev = tid_dev = mult_dev = None
         if lp.lookup_is_allowed:
             width = lp.lookup_width()
-            pw = lp.specialized_columns_per_repetition()
-            base_off = geometry.num_columns_under_copy_permutation
+            if lp.is_specialized:
+                pw = lp.specialized_columns_per_repetition()
+                base_off = geometry.num_columns_under_copy_permutation
+            else:
+                pw = lp.columns_per_subargument()
+                base_off = 0
+                # general-purpose: A_i = sel/agg_i; sel = marker selector
+                # product over base-domain constant columns
+                marker_path = sb.selector_paths[0]
+                const_dev = device.to_device_cols(
+                    sb.constant_columns[:len(marker_path)]) \
+                    if marker_path else None
+                sel_base = gl.ones((n,)).astuple()
+                for k_, bit in enumerate(marker_path):
+                    c_lo, c_hi = col(const_dev, k_)
+                    if not bit:
+                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
+                    sel_base = jbase_mul(sel_base[0], sel_base[1], c_lo, c_hi)
             tbl_dev = device.to_device_cols(sb.lookup_tables_columns)
             tid_dev = device.to_device_cols(
                 sb.constant_columns[sb.table_ids_column_idxes[0]:
-                                    sb.table_ids_column_idxes[0] + 1])
+                                    sb.table_ids_column_idxes[0] + 1]) \
+                if lp.id_in_constant else None
             mult_dev = device.to_device_cols(mult_cols)
-            from .jit_ops import jscale_base
-            for rep in range(num_lookup_subargs):
-                agg = EV.const(lookup_beta, (n,))
-                for i in range(width):
-                    w_lo, w_hi = col(vars_dev, base_off + rep * pw + i)
-                    agg = agg + EV(*jscale_base(w_lo, w_hi, gpow_a[i]))
-                t_lo, t_hi = col(tid_dev, 0)
-                agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
-                stage2_evs.append(agg.inv())
-            agg_t = EV.const(lookup_beta, (n,))
-            for i in range(self.num_table):
-                t_lo, t_hi = col(tbl_dev, i)
-                agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
-            m_lo, m_hi = col(mult_dev, 0)
-            stage2_evs.append(agg_t.inv().mul_base(m_lo, m_hi))
 
-        # stage-2 oracle: columns [p.c0, p.c1] per ext poly
-        s2_lo = jnp.stack([a for ev_ in stage2_evs for a in (ev_.a[0], ev_.a[2])],
-                          axis=1)
-        s2_hi = jnp.stack([a for ev_ in stage2_evs for a in (ev_.a[1], ev_.a[3])],
-                          axis=1)
+        if self.mesh is None:
+            # fused single-dispatch stage 2+3 (bit-identical field math)
+            nr_host = np.asarray(self.non_res, np.uint64)
+            nrl = jnp.asarray((nr_host & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            nrh = jnp.asarray((nr_host >> np.uint64(32)).astype(np.uint32))
+            zero_n = jnp.zeros((n,), jnp.uint32)
+            gpow_arr = jnp.asarray(np.stack(gpow_a))
+            fused = _stage23_jit(
+                n, self.num_var, qd, num_lookup_subargs, width, pw, base_off,
+                bool(lp.id_in_constant) if lp.lookup_is_allowed else False,
+                lp.lookup_is_allowed, sel_base is not None, self.num_table)
+            s2_lo, s2_hi = fused(
+                vars_dev.lo, vars_dev.hi, sig_dev.lo, sig_dev.hi,
+                x_dev.lo, x_dev.hi, nrl, nrh,
+                jnp.asarray(beta_a), jnp.asarray(gamma_a),
+                jnp.asarray(lbeta_a), gpow_arr,
+                tbl_dev.lo if tbl_dev is not None else jnp.zeros((n, 0), jnp.uint32),
+                tbl_dev.hi if tbl_dev is not None else jnp.zeros((n, 0), jnp.uint32),
+                tid_dev.lo[:, 0] if tid_dev is not None else zero_n,
+                tid_dev.hi[:, 0] if tid_dev is not None else zero_n,
+                sel_base[0] if sel_base is not None else zero_n,
+                sel_base[1] if sel_base is not None else zero_n,
+                mult_dev.lo[:, 0] if mult_dev is not None else zero_n,
+                mult_dev.hi[:, 0] if mult_dev is not None else zero_n)
+        else:
+            chunks = []
+            for c in range(self.num_intermediates + 1):
+                num_acc = EV.const((1, 0), (n,))
+                den_acc = EV.const((1, 0), (n,))
+                for j in range(c * qd, min((c + 1) * qd, self.num_var)):
+                    w_lo, w_hi = col(vars_dev, j)
+                    nr = scalar_ext((self.non_res[j], 0))
+                    bx_lo, bx_hi = jbase_mul(
+                        x_dev.lo, x_dev.hi,
+                        jnp.broadcast_to(jnp.uint32(nr[0, 0]), (n,)),
+                        jnp.broadcast_to(jnp.uint32(nr[0, 1]), (n,)))
+                    num_j = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
+                    s_lo, s_hi = col(sig_dev, j)
+                    den_j = EV(*jaffine(w_lo, w_hi, s_lo, s_hi, beta_a, gamma_a))
+                    num_acc = num_acc * num_j
+                    den_acc = den_acc * den_j
+                chunks.append(num_acc * den_acc.inv())
+
+            total = chunks[0]
+            for c in chunks[1:]:
+                total = total * c
+            from ..parallel.sharding import distributed_grand_product
+            z_ev = EV(*distributed_grand_product(self.mesh, n)(*total.a))
+            stage2_evs = [z_ev]
+            prev = z_ev
+            for c in chunks[:-1]:
+                prev = prev * c
+                stage2_evs.append(prev)
+
+            if lp.lookup_is_allowed:
+                from .jit_ops import jscale_base
+                for rep in range(num_lookup_subargs):
+                    agg = EV.const(lookup_beta, (n,))
+                    for i in range(pw):
+                        w_lo, w_hi = col(vars_dev, base_off + rep * pw + i)
+                        agg = agg + EV(*jscale_base(w_lo, w_hi, gpow_a[i]))
+                    if lp.id_in_constant:
+                        t_lo, t_hi = col(tid_dev, 0)
+                        agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
+                    a_ev = agg.inv()
+                    if sel_base is not None:
+                        a_ev = a_ev.mul_base(sel_base[0], sel_base[1])
+                    stage2_evs.append(a_ev)
+                agg_t = EV.const(lookup_beta, (n,))
+                for i in range(self.num_table):
+                    t_lo, t_hi = col(tbl_dev, i)
+                    agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
+                m_lo, m_hi = col(mult_dev, 0)
+                stage2_evs.append(agg_t.inv().mul_base(m_lo, m_hi))
+
+            # stage-2 oracle: columns [p.c0, p.c1] per ext poly
+            s2_lo = jnp.stack(
+                [a for ev_ in stage2_evs for a in (ev_.a[0], ev_.a[2])], axis=1)
+            s2_hi = jnp.stack(
+                [a for ev_ in stage2_evs for a in (ev_.a[1], ev_.a[3])], axis=1)
         stage2_base = GL(s2_lo, s2_hi)
         if self.mesh is not None:
             from ..parallel.sharded_oracle import sharded_cols_to_monomials
@@ -305,20 +353,36 @@ class DeviceProver:
                               jext_scale)
 
         if lp.lookup_is_allowed:
-            tid_idx = self.num_var + sb.table_ids_column_idxes[0]
+            if lp.is_specialized:
+                sel_flat = None
+            else:
+                marker_path = sb.selector_paths[0]
+                sel_flat = gl.ones((size,)).astuple()
+                for k_, bit in enumerate(marker_path):
+                    c_lo, c_hi = fcol(s_flat, self.num_var + k_)
+                    if not bit:
+                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
+                    sel_flat = jbase_mul(sel_flat[0], sel_flat[1], c_lo, c_hi)
             a_off = 2 * (1 + self.num_intermediates)
             for rep in range(num_lookup_subargs):
                 agg = EV.const(lookup_beta, (size,))
-                for i in range(width):
+                for i in range(pw):
                     c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
                     agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
-                t_lo, t_hi = fcol(s_flat, tid_idx)
-                agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
+                if lp.id_in_constant:
+                    tid_idx = self.num_var + sb.table_ids_column_idxes[0]
+                    t_lo, t_hi = fcol(s_flat, tid_idx)
+                    agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
                 a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
                             g2_flat.hi[:, a_off + 2 * rep],
                             g2_flat.lo[:, a_off + 2 * rep + 1],
                             g2_flat.hi[:, a_off + 2 * rep + 1])
-                term = EV(*jext_sub_one_c0(*(a_poly * agg).a))
+                prod = a_poly * agg
+                if sel_flat is None:
+                    term = EV(*jext_sub_one_c0(*prod.a))
+                else:
+                    z_ = jnp.zeros_like(sel_flat[0])
+                    term = prod - EV(sel_flat[0], sel_flat[1], z_, z_)
                 acc = acc + term.scale(alpha_arrs[ai])
                 ai += 1
             agg_t = EV.const(lookup_beta, (size,))
@@ -710,6 +774,164 @@ def _consts_read(ev):
     """Constants the evaluator actually reads (>= num_constants for gates
     with row-shared constants)."""
     return ev.num_constants
+
+
+def _ext_prod_last(x):
+    """GL2 product along the trailing axis (log-tree, exact field math)."""
+    from ..field.extension import GL2
+    m = x.c0.lo.shape[-1]
+    while m > 1:
+        half = m // 2
+        a = x[..., :half]
+        b = x[..., half:2 * half]
+        s = ext2.mul(a, b)
+        if m % 2:
+            rem = x[..., 2 * half:m]
+            s = GL2(GL(jnp_concat(s.c0.lo, rem.c0.lo), jnp_concat(s.c0.hi, rem.c0.hi)),
+                    GL(jnp_concat(s.c1.lo, rem.c1.lo), jnp_concat(s.c1.hi, rem.c1.hi)))
+            m = half + 1
+        else:
+            m = half
+        x = s
+    return x[..., 0]
+
+
+def jnp_concat(a, b):
+    import jax.numpy as jnp
+    return jnp.concatenate([a, b], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage23_jit(n, num_var, qd, num_subargs, width, pw, base_off,
+                 id_in_constant, has_lookup, has_sel, num_table):
+    """ONE compiled program for stages 2+3: per-chunk copy-permutation
+    rational products, exclusive grand product z, intermediate partials,
+    and the lookup A/B polys — replacing the per-column dispatch loop
+    (~5 dispatches x num_var columns) whose launch overhead dominated the
+    stage over the device tunnel. Exact field math: values are bit-identical
+    to the unfused path."""
+    import jax
+    from ..field.extension import GL2
+
+    G = -(-num_var // qd)
+
+    import jax.numpy as jnp
+
+    def f(vl, vh, sgl, sgh, xl, xh, nrl, nrh, beta, gamma, lbeta, gpow,
+          tbl_l, tbl_h, tid_l, tid_h, sel_l, sel_h, ml, mh):
+        w = GL(vl, vh)          # (n, nv)
+        sg = GL(sgl, sgh)       # (n, nv)
+        x = GL(xl, xh)          # (n,)
+        nrx = gl.mul(GL(xl[:, None], xh[:, None]), GL(nrl[None, :], nrh[None, :]))
+
+        def affine(base_arr, other):
+            # w + β·other + γ  (ext), elementwise over (n, nv)
+            b0 = GL(jnp.broadcast_to(beta[0, 0], other.lo.shape),
+                    jnp.broadcast_to(beta[0, 1], other.lo.shape))
+            b1 = GL(jnp.broadcast_to(beta[1, 0], other.lo.shape),
+                    jnp.broadcast_to(beta[1, 1], other.lo.shape))
+            g0 = GL(jnp.broadcast_to(gamma[0, 0], other.lo.shape),
+                    jnp.broadcast_to(gamma[0, 1], other.lo.shape))
+            g1 = GL(jnp.broadcast_to(gamma[1, 0], other.lo.shape),
+                    jnp.broadcast_to(gamma[1, 1], other.lo.shape))
+            c0 = gl.add(gl.add(base_arr, gl.mul(other, b0)), g0)
+            c1 = gl.add(gl.mul(other, b1), g1)
+            return GL2(c0, c1)
+
+        num = affine(w, nrx)
+        den = affine(w, sg)
+
+        pad = G * qd - num_var
+        if pad:
+            def padded(e):
+                one_lo = jnp.ones((n, pad), jnp.uint32)
+                zero = jnp.zeros((n, pad), jnp.uint32)
+                return GL2(GL(jnp_concat(e.c0.lo, one_lo),
+                              jnp_concat(e.c0.hi, zero)),
+                           GL(jnp_concat(e.c1.lo, zero),
+                              jnp_concat(e.c1.hi, zero)))
+            num = padded(num)
+            den = padded(den)
+        num = num.reshape(n, G, qd)
+        den = den.reshape(n, G, qd)
+        chunk_num = _ext_prod_last(num)     # (n, G)
+        chunk_den = _ext_prod_last(den)
+        chunk_den_inv = device.ext_inverse(chunk_den)
+        ratios = ext2.mul(chunk_num, chunk_den_inv)   # (n, G)
+        total = _ext_prod_last(ratios)                # (n,)
+        z = device.grand_product_exclusive(total)     # (n,)
+        # partials: z · cumprod(ratios[:, :i+1]) for i in 0..G-2
+        incl = jax.lax.associative_scan(ext2.mul, ratios, axis=1)
+        cols = [z]
+        for i in range(G - 1):
+            cols.append(ext2.mul(z, incl[:, i]))
+
+        if has_lookup:
+            def gp(i):  # gamma^i as broadcast pair constructor
+                return (gpow[i, 0, 0], gpow[i, 0, 1],
+                        gpow[i, 1, 0], gpow[i, 1, 1])
+
+            lb0 = GL(jnp.broadcast_to(lbeta[0, 0], (n, num_subargs)),
+                     jnp.broadcast_to(lbeta[0, 1], (n, num_subargs)))
+            lb1 = GL(jnp.broadcast_to(lbeta[1, 0], (n, num_subargs)),
+                     jnp.broadcast_to(lbeta[1, 1], (n, num_subargs)))
+            agg0, agg1 = lb0, lb1
+            lw = GL(vl[:, base_off:base_off + num_subargs * pw],
+                    vh[:, base_off:base_off + num_subargs * pw])
+            lw = lw.reshape(n, num_subargs, pw)
+            for i in range(pw):
+                col = GL(lw.lo[:, :, i], lw.hi[:, :, i])
+                g0l, g0h, g1l, g1h = gp(i)
+                agg0 = gl.add(agg0, gl.mul(col, GL(
+                    jnp.broadcast_to(g0l, col.lo.shape),
+                    jnp.broadcast_to(g0h, col.lo.shape))))
+                agg1 = gl.add(agg1, gl.mul(col, GL(
+                    jnp.broadcast_to(g1l, col.lo.shape),
+                    jnp.broadcast_to(g1h, col.lo.shape))))
+            if id_in_constant:
+                tid = GL(tid_l[:, None], tid_h[:, None])
+                g0l, g0h, g1l, g1h = gp(width)
+                agg0 = gl.add(agg0, gl.mul(tid, GL(
+                    jnp.broadcast_to(g0l, (n, 1)),
+                    jnp.broadcast_to(g0h, (n, 1)))))
+                agg1 = gl.add(agg1, gl.mul(tid, GL(
+                    jnp.broadcast_to(g1l, (n, 1)),
+                    jnp.broadcast_to(g1h, (n, 1)))))
+            a_polys = device.ext_inverse(GL2(agg0, agg1))  # (n, reps)
+            if has_sel:
+                sel = GL(sel_l[:, None], sel_h[:, None])
+                a_polys = GL2(gl.mul(a_polys.c0, GL(
+                    jnp.broadcast_to(sel.lo, a_polys.c0.lo.shape),
+                    jnp.broadcast_to(sel.hi, a_polys.c0.lo.shape))),
+                    gl.mul(a_polys.c1, GL(
+                        jnp.broadcast_to(sel.lo, a_polys.c1.lo.shape),
+                        jnp.broadcast_to(sel.hi, a_polys.c1.lo.shape))))
+            for r in range(num_subargs):
+                cols.append(GL2(a_polys.c0[:, r], a_polys.c1[:, r]))
+            # B poly
+            t0 = GL(jnp.broadcast_to(lbeta[0, 0], (n,)),
+                    jnp.broadcast_to(lbeta[0, 1], (n,)))
+            t1 = GL(jnp.broadcast_to(lbeta[1, 0], (n,)),
+                    jnp.broadcast_to(lbeta[1, 1], (n,)))
+            for i in range(num_table):
+                col = GL(tbl_l[:, i], tbl_h[:, i])
+                g0l, g0h, g1l, g1h = gp(i)
+                t0 = gl.add(t0, gl.mul(col, GL(
+                    jnp.broadcast_to(g0l, (n,)), jnp.broadcast_to(g0h, (n,)))))
+                t1 = gl.add(t1, gl.mul(col, GL(
+                    jnp.broadcast_to(g1l, (n,)), jnp.broadcast_to(g1h, (n,)))))
+            b_inv = device.ext_inverse(GL2(t0, t1))
+            m = GL(ml, mh)
+            cols.append(GL2(gl.mul(b_inv.c0, m), gl.mul(b_inv.c1, m)))
+
+        out_lo = jnp.stack(
+            [a for e in cols for a in (e.c0.lo, e.c1.lo)], axis=1)
+        out_hi = jnp.stack(
+            [a for e in cols for a in (e.c0.hi, e.c1.hi)], axis=1)
+        return out_lo, out_hi
+
+    import jax
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)

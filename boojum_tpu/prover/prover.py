@@ -280,26 +280,45 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     lookup_gamma = (0, 0)
     num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
     if lp.lookup_is_allowed:
-        assert lp.is_specialized and lp.id_in_constant and lp.share_table_id
+        assert lp.id_in_constant or not lp.is_specialized
         lookup_beta = _s2(tuple(transcript.get_multiple_challenges(2)))
         lookup_gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
         width = lp.lookup_width()
         gamma_pows = [(1, 0)]
         for _ in range(width):
             gamma_pows.append(ext2.s2_mul(gamma_pows[-1], lookup_gamma))
-        table_id_col = setup_base.constant_columns[setup_base.table_ids_column_idxes[0]]
-        pw = lp.specialized_columns_per_repetition()
-        base_off = geometry.num_columns_under_copy_permutation
+        if lp.is_specialized:
+            pw = lp.specialized_columns_per_repetition()
+            base_off = geometry.num_columns_under_copy_permutation
+            sel_base = None  # specialized lookups run on every row: A = 1/agg
+        else:
+            # general-purpose: A_i = sel(x)/agg_i(x), sel = marker's selector
+            # path product over the base-domain constant columns
+            pw = lp.columns_per_subargument()
+            base_off = 0
+            marker_path = setup_base.selector_paths[0]
+            sel_base = np.ones(n, np.uint64)
+            for k_, bit in enumerate(marker_path):
+                col = setup_base.constant_columns[k_]
+                sel_base = npgl.mul(sel_base,
+                                    col if bit else npgl.sub(np.uint64(1), col))
         for rep in range(num_lookup_subargs):
             agg = (np.full(n, lookup_beta[0], np.uint64),
                    np.full(n, lookup_beta[1], np.uint64))
-            for i in range(width):
+            for i in range(pw):
                 col = variables_cols[base_off + rep * pw + i]
                 agg = _np_ext_add(agg, (npgl.mul_scalar(col, gamma_pows[i][0]),
                                         npgl.mul_scalar(col, gamma_pows[i][1])))
-            agg = _np_ext_add(agg, (npgl.mul_scalar(table_id_col, gamma_pows[width][0]),
-                                    npgl.mul_scalar(table_id_col, gamma_pows[width][1])))
-            lookup_a_polys.append(_np_ext_inv(agg))
+            if lp.id_in_constant:
+                table_id_col = setup_base.constant_columns[
+                    setup_base.table_ids_column_idxes[0]]
+                agg = _np_ext_add(
+                    agg, (npgl.mul_scalar(table_id_col, gamma_pows[width][0]),
+                          npgl.mul_scalar(table_id_col, gamma_pows[width][1])))
+            a_poly = _np_ext_inv(agg)
+            if sel_base is not None:
+                a_poly = _np_ext_mul_base(a_poly, sel_base)
+            lookup_a_polys.append(a_poly)
         # B: multiplicities over aggregated table columns
         agg_t = (np.full(n, lookup_beta[0], np.uint64),
                  np.full(n, lookup_beta[1], np.uint64))
@@ -371,23 +390,39 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     # 6a. lookup terms
     if lp.lookup_is_allowed:
         width = lp.lookup_width()
-        pw = lp.specialized_columns_per_repetition()
-        base_off = geometry.num_columns_under_copy_permutation
-        tid_flat = const_flat[setup_base.table_ids_column_idxes[0]]
+        if lp.is_specialized:
+            pw = lp.specialized_columns_per_repetition()
+            base_off = geometry.num_columns_under_copy_permutation
+            sel_lde = None  # A·agg − 1 (active on every row)
+        else:
+            pw = lp.columns_per_subargument()
+            base_off = 0
+            marker_path = setup_base.selector_paths[0]
+            sel_lde = np.ones(size, np.uint64)
+            for k_, bit in enumerate(marker_path):
+                col = const_flat[k_]
+                sel_lde = npgl.mul(sel_lde,
+                                   col if bit else npgl.sub(np.uint64(1), col))
         a_off = 2 * (1 + num_intermediates)
         it = iter(lookup_alphas)
         for rep in range(num_lookup_subargs):
             agg = (np.full(size, lookup_beta[0], np.uint64),
                    np.full(size, lookup_beta[1], np.uint64))
-            for i in range(width):
+            for i in range(pw):
                 col = var_flat[base_off + rep * pw + i]
                 agg = _np_ext_add(agg, (npgl.mul_scalar(col, gamma_pows[i][0]),
                                         npgl.mul_scalar(col, gamma_pows[i][1])))
-            agg = _np_ext_add(agg, (npgl.mul_scalar(tid_flat, gamma_pows[width][0]),
-                                    npgl.mul_scalar(tid_flat, gamma_pows[width][1])))
+            if lp.id_in_constant:
+                tid_flat = const_flat[setup_base.table_ids_column_idxes[0]]
+                agg = _np_ext_add(
+                    agg, (npgl.mul_scalar(tid_flat, gamma_pows[width][0]),
+                          npgl.mul_scalar(tid_flat, gamma_pows[width][1])))
             a_poly = (stage2_flat[a_off + 2 * rep], stage2_flat[a_off + 2 * rep + 1])
             term = _np_ext_mul(a_poly, agg)
-            term = (npgl.sub(term[0], np.uint64(1)), term[1])
+            if sel_lde is None:
+                term = (npgl.sub(term[0], np.uint64(1)), term[1])
+            else:
+                term = (npgl.sub(term[0], sel_lde), term[1])
             acc = _np_ext_add(acc, _np_ext_scale(term, next(it)))
         # B term
         agg_t = (np.full(size, lookup_beta[0], np.uint64),

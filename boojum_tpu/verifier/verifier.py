@@ -59,6 +59,7 @@ def _registry():
     from ..cs.gates import simple as g
     return {
         "nop": lambda n: g.NopEvaluator(),
+        "lookup_formal": lambda p: g.LookupMarkerEvaluator(p[0], p[1] > 0),
         "public_input": lambda n: g.PublicInputEvaluator(),
         "constants_allocator": lambda n: g.ConstantsAllocatorEvaluator(),
         "fma": lambda n: g.FmaEvaluator(),
@@ -264,17 +265,30 @@ def _verify_inner(vk: VerificationKey, proof: Proof, transcript_kind: str,
         width = lp.lookup_width()
         for _ in range(width):
             gamma_pows.append(ext2.s2_mul(gamma_pows[-1], lookup_gamma))
-        tid_at_z = v_consts[fixed.table_ids_column_idxes[0]]
         it = iter(lookup_alphas)
-        pw = lp.specialized_columns_per_repetition()
-        base_off = geometry.num_columns_under_copy_permutation
+        if lp.is_specialized:
+            pw = lp.specialized_columns_per_repetition()
+            base_off = geometry.num_columns_under_copy_permutation
+            sub_term = E_ONE  # A·agg − 1 (active on every row)
+        else:
+            # general-purpose (reference verifier.rs:1366): A·agg − sel,
+            # sel = marker's (evaluator 0) selector path product at z
+            pw = lp.columns_per_subargument()
+            base_off = 0
+            sub_term = E_ONE
+            for k, bit in enumerate(fixed.selector_paths[0]):
+                c = v_consts[k]
+                sub_term = ext2.s2_mul(sub_term,
+                                       c if bit else ext2.s2_sub(E_ONE, c))
         for rep in range(num_lookup_subargs):
             agg = lookup_beta
-            for i in range(width):
+            for i in range(pw):
                 agg = ext2.s2_add(agg, ext2.s2_mul(gamma_pows[i],
                                                    v_vars[base_off + rep * pw + i]))
-            agg = ext2.s2_add(agg, ext2.s2_mul(gamma_pows[width], tid_at_z))
-            term = ext2.s2_sub(ext2.s2_mul(v_a[rep], agg), E_ONE)
+            if lp.id_in_constant:
+                tid_at_z = v_consts[fixed.table_ids_column_idxes[0]]
+                agg = ext2.s2_add(agg, ext2.s2_mul(gamma_pows[width], tid_at_z))
+            term = ext2.s2_sub(ext2.s2_mul(v_a[rep], agg), sub_term)
             rhs = ext2.s2_add(rhs, ext2.s2_mul(term, next(it)))
         agg_t = lookup_beta
         for i in range(num_table):
