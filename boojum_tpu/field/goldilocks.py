@@ -407,6 +407,47 @@ def s_pow(a: int, e: int) -> int:
     return pow(a, e, ORDER)
 
 
+def s_sqrt(a: int):
+    """Tonelli-Shanks square root, mirroring the reference's SqrtField impl
+    (src/field/goldilocks/mod.rs:359-420): same fixed Z constant, so the
+    returned root (out of the pair ±r) is identical to the reference's.
+    Returns None for quadratic non-residues; sqrt(0) = 0."""
+    a %= ORDER
+    if a == 0:
+        return 0
+    T = (ORDER - 1) >> TWO_ADICITY  # odd part of p-1
+    TONELLI_SHANKS_Z = 1753635133440165772
+
+    omega = pow(a, T >> 1, ORDER)
+    a_omega = a * omega % ORDER
+    b = a_omega * omega % ORDER
+
+    a0 = b
+    for _ in range(TWO_ADICITY - 1):
+        a0 = a0 * a0 % ORDER
+    if a0 == ORDER - 1:
+        return None
+
+    v = TWO_ADICITY
+    x = a_omega
+    z = TONELLI_SHANKS_Z
+    while b != 1:
+        k = 0
+        tmp = b
+        while tmp != 1:
+            tmp = tmp * tmp % ORDER
+            k += 1
+        omega = z
+        for _ in range(v - k - 1):
+            omega = omega * omega % ORDER
+        z = omega * omega % ORDER
+        b = b * z % ORDER
+        x = x * omega % ORDER
+        v = k
+    assert x * x % ORDER == a
+    return x
+
+
 def domain_generator(log2_size: int) -> int:
     """Generator of the order-2^log2_size subgroup, matching the reference's
     radix-2 generator tower (src/cs/implementations/utils.rs:13)."""

@@ -218,6 +218,150 @@ class NonNativeField:
         self._column_chain(columns, hosts, carry_bits=4, offset_pow=20)
         return NonNativeField(cs, params, r_limbs, self.table_ids)
 
+    def sub(self, other: "NonNativeField") -> "NonNativeField":
+        """a − b mod M via a + (2M − b) with a two-limb quotient
+        (reference implementation_u16.rs sub: add the shifted modulus)."""
+        cs = self.cs
+        params = self.params
+        L = params.num_limbs
+        M2 = 2 * params.modulus
+        M2_limbs = [(M2 >> (LIMB * i)) & (BASE - 1) for i in range(L + 1)]
+        M_limbs = params.limbs_of(params.modulus)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        q_limbs, r_limbs = self._mod_reduce_witness(
+            lambda: self.get_witness() + M2 - other.get_witness(), 1)
+        a_val = [cs.get_value(l) for l in self.limbs] if cs.resolver else [0] * L
+        b_val = [cs.get_value(l) for l in other.limbs] if cs.resolver else [0] * L
+        q0 = cs.get_value(q_limbs[0]) if cs.resolver else 0
+        r_val = [cs.get_value(l) for l in r_limbs] if cs.resolver else [0] * L
+
+        columns = []
+        hosts = []
+        for k in range(L + 1):
+            terms = []
+            host = 0
+            if k < L:
+                terms += [(1, self.limbs[k]), (P - 1, other.limbs[k]),
+                          (P - 1, r_limbs[k])]
+                host += a_val[k] - b_val[k] - r_val[k]
+            if M2_limbs[k]:
+                terms.append((M2_limbs[k], one))
+                host += M2_limbs[k]
+            Mk = M_limbs[k] if k < L else (params.modulus >> (LIMB * L))
+            if Mk:
+                terms.append((P - Mk, q_limbs[0]))
+                host -= q0 * Mk
+            columns.append(terms)
+            hosts.append(host)
+        self._column_chain(columns, hosts, carry_bits=5, offset_pow=21)
+        return NonNativeField(cs, params, r_limbs, self.table_ids)
+
+    def neg(self) -> "NonNativeField":
+        zero = NonNativeField.constant(self.cs, self.params, 0, self.table_ids)
+        return zero.sub(self)
+
+    def _enforce_mul(self, other: "NonNativeField",
+                     result: "NonNativeField"):
+        """Enforce self · other ≡ result (mod M) with ``result`` being
+        EXISTING limb variables (shared column-chain core of mul/div)."""
+        cs = self.cs
+        params = self.params
+        L = params.num_limbs
+        M_limbs = params.limbs_of(params.modulus)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        wide = (self.get_witness() * other.get_witness()
+                - result.get_witness()) if cs.resolver else 0
+        assert wide % params.modulus == 0 or not cs.resolver
+        q = wide // params.modulus if cs.resolver else 0
+        q_limbs = [cs.alloc_variable_with_value((q >> (LIMB * i)) & (BASE - 1))
+                   for i in range(L)]
+        self._range_check(q_limbs)
+        r_limbs = result.limbs
+
+        a_val = [cs.get_value(l) for l in self.limbs] if cs.resolver else [0] * L
+        b_val = [cs.get_value(l) for l in other.limbs] if cs.resolver else [0] * L
+        q_val = [cs.get_value(l) for l in q_limbs] if cs.resolver else [0] * L
+        r_val = [cs.get_value(l) for l in r_limbs] if cs.resolver else [0] * L
+
+        columns = []
+        hosts = []
+        for k in range(2 * L - 1):
+            terms = []
+            host = 0
+            for i in range(max(0, k - L + 1), min(k + 1, L)):
+                j = k - i
+                prod = FmaGate.compute_fma(cs, 1,
+                                           (self.limbs[i], other.limbs[j]),
+                                           0, one)
+                terms.append((1, prod))
+                host += a_val[i] * b_val[j]
+                if M_limbs[j]:
+                    terms.append((P - M_limbs[j], q_limbs[i]))
+                    host -= q_val[i] * M_limbs[j]
+            if k < L:
+                terms.append((P - 1, r_limbs[k]))
+                host -= r_val[k]
+            columns.append(terms)
+            hosts.append(host)
+        self._column_chain(columns, hosts, carry_bits=22, offset_pow=38)
+
+    def div(self, other: "NonNativeField") -> "NonNativeField":
+        """self / other mod M: witness c = self·other⁻¹, then enforce
+        other · c == self. ``other`` must be invertible mod M."""
+        cs = self.cs
+        params = self.params
+        if cs.resolver:
+            b = other.get_witness() % params.modulus
+            inv = pow(b, -1, params.modulus)
+            c_val = self.get_witness() * inv % params.modulus
+        else:
+            c_val = 0
+        c = NonNativeField.allocate_checked(cs, params, c_val, self.table_ids)
+        other._enforce_mul(c, self)
+        return c
+
+    def inverse(self) -> "NonNativeField":
+        one = NonNativeField.constant(self.cs, self.params, 1, self.table_ids)
+        return one.div(self)
+
+    def enforce_canonical(self):
+        """Enforce value < M (the reference's normalization end state): a
+        borrow-free witness d with d + value == M − 1 limb-wise."""
+        cs = self.cs
+        params = self.params
+        L = params.num_limbs
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        Mm1_limbs = [((params.modulus - 1) >> (LIMB * i)) & (BASE - 1)
+                     for i in range(L)]
+        d_val = params.modulus - 1 - self.get_witness() if cs.resolver else 0
+        assert d_val >= 0 or not cs.resolver, "value not canonical"
+        d_limbs = [cs.alloc_variable_with_value((d_val >> (LIMB * i))
+                                                & (BASE - 1))
+                   for i in range(L)]
+        self._range_check(d_limbs)
+        r_val = [cs.get_value(l) for l in self.limbs] if cs.resolver else [0] * L
+        dv = [cs.get_value(l) for l in d_limbs] if cs.resolver else [0] * L
+        columns = []
+        hosts = []
+        for k in range(L):
+            terms = [(1, self.limbs[k]), (1, d_limbs[k])]
+            host = r_val[k] + dv[k] - Mm1_limbs[k]
+            terms.append((P - Mm1_limbs[k], one) if Mm1_limbs[k]
+                         else (0, one))
+            columns.append(terms)
+            hosts.append(host)
+        self._column_chain(columns, hosts, carry_bits=2, offset_pow=18)
+
+    def equals_canonical(self, other: "NonNativeField"):
+        """Enforce equality as field elements: canonicalize both, then
+        limbwise equality."""
+        from .num import CircuitOps
+        self.enforce_canonical()
+        other.enforce_canonical()
+        ops = CircuitOps(self.cs)
+        for a, b in zip(self.limbs, other.limbs):
+            ops.enforce_equal(a, b)
+
     @staticmethod
     def select(flag_var, a: "NonNativeField", b: "NonNativeField"):
         """flag ? a : b, limbwise (SelectionGate)."""

@@ -77,7 +77,22 @@ def create_byte_split_table(split_at: int) -> LookupTable:
     return LookupTable(f"ByteSplit_{split_at}", rows, num_keys=1)
 
 
-def create_range_check_table(bits: int) -> LookupTable:
-    """Single-column membership table [0, 2^bits) (width 1)."""
-    rows = np.arange(1 << bits, dtype=np.uint64)[:, None]
+def create_binop_table() -> LookupTable:
+    """(a, b) -> xor<<32 | or<<16 | and packed in one value (width 3;
+    reference binop_table.rs:9-35)."""
+    a, b = np.meshgrid(np.arange(256, dtype=np.uint64),
+                       np.arange(256, dtype=np.uint64), indexing="ij")
+    a, b = a.reshape(-1), b.reshape(-1)
+    value = ((a ^ b) << np.uint64(32)) | ((a | b) << np.uint64(16)) | (a & b)
+    rows = np.stack([a, b, value], axis=1).astype(np.uint64)
+    return LookupTable("Binop table", rows, num_keys=2)
+
+
+def create_range_check_table(bits: int, width: int = 1) -> LookupTable:
+    """Membership table [0, 2^bits): rows (x, 0, ..., 0) padded to ``width``
+    so it can live in any CS lookup geometry (reference
+    range_check_16_bits.rs / range_check_table.rs)."""
+    col = np.arange(1 << bits, dtype=np.uint64)[:, None]
+    rows = np.concatenate(
+        [col, np.zeros((1 << bits, width - 1), np.uint64)], axis=1)
     return LookupTable(f"RangeCheck_{bits}", rows, num_keys=1)

@@ -194,6 +194,70 @@ class _UIntBase:
     def get_witness(self) -> int:
         return self.cs.get_value(self.variable)
 
+    def to_bytes(self, table_ids: dict = None) -> list:
+        """Byte decomposition (LSB first): witness split + recompose
+        identity; bytes range-checked (reference UInt32 byte views)."""
+        cs = self.cs
+        nb = self.WIDTH // 8
+        bytes_v = cs.alloc_variables(nb)
+
+        def fn(vals):
+            x = vals[0]
+            return np.stack([(x >> np.uint64(8 * i)) & np.uint64(0xFF)
+                             for i in range(nb)])
+
+        cs.set_values_with_dependencies(
+            np.asarray([[self.variable]], np.uint64), bytes_v, fn)
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        coeffs = [1 << (8 * i) for i in range(nb)] + [0] * (4 - nb)
+        terms = [int(b) for b in bytes_v] + [zero] * (4 - nb)
+        acc = ReductionGate.reduce_terms(cs, coeffs[:4], terms[:4])
+        from .num import CircuitOps
+        CircuitOps(cs).enforce_equal(acc, self.variable)
+        out = [int(b) for b in bytes_v]
+        byte_range_check(cs, out, table_ids)
+        return out
+
+
+def byte_range_check(cs, byte_vars: list, table_ids: dict = None):
+    """Range-check variables to [0, 256): via a range/xor8/and8 byte table
+    when available, else 8-bit decomposition."""
+    table_ids = table_ids or {}
+    if "range8" in table_ids:
+        # pad to the CS lookup width with constant zeros (range rows are
+        # (x, 0, ..) — reference range_check tables are width-padded too)
+        width = cs.lookup_parameters.lookup_width()
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        arr = np.asarray(byte_vars, np.uint64)
+        rows = [arr] + [np.full(arr.shape, zero, np.uint64)] * (width - 1)
+        cs.enforce_lookup_batch(table_ids["range8"], np.stack(rows))
+        return
+    key = next((k for k in ("xor8", "and8", "binop") if k in table_ids), None)
+    if key is not None:
+        # (v, v) is a valid key pair iff v < 256; value column pinned to the
+        # op result on equal inputs (xor -> 0, and -> v, binop -> packed)
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        n = len(byte_vars)
+        arr = np.asarray(byte_vars, np.uint64)
+        if key == "xor8":
+            out = np.full(n, zero, np.uint64)
+        elif key == "and8":
+            out = arr
+        else:  # binop: xor<<32 | or<<16 | and = v<<16 | v
+            out = cs.alloc_variables(n)
+
+            def fn(vals):
+                return (vals[0] << np.uint64(16)) | vals[0]
+
+            cs.set_values_with_dependencies(arr[None, :], out, fn)
+        cs.enforce_lookup_batch(table_ids[key], np.stack([arr, arr, out]))
+        return
+    from .num import CircuitOps
+    from .recursion.primitives import decompose_bits
+    ops = CircuitOps(cs)
+    for v in byte_vars:
+        decompose_bits(cs, ops, v, 8, enforce_canonical=False)
+
 
 def _recompose_pow16(cs, chunk_vars: list) -> int:
     """Σ chunk_i · 16^i via chained reductions."""
@@ -330,6 +394,99 @@ class _MultiLimbUInt:
         return sum(l.get_witness() << (32 * i)
                    for i, l in enumerate(self.limbs))
 
+    def equals(self, other) -> "Boolean":
+        diff, _ = self.sub(other)
+        return diff.is_zero()
+
+    def mask(self, flag: "Boolean"):
+        """self if flag else 0 (reference u256 mask)."""
+        return self.select(flag, type(self).zero(self.cs))
+
+    def mask_negated(self, flag: "Boolean"):
+        return type(self).zero(self.cs).select(flag, self)
+
+    def is_odd(self, table_ids: dict = None) -> "Boolean":
+        """Lowest bit (reference u256 is_odd: low limb parity)."""
+        cs = self.cs
+        low = self.limbs[0].variable
+        bit = cs.alloc_variable()
+        half = cs.alloc_variable()
+
+        def fn(vals):
+            return np.stack([vals[0] & np.uint64(1), vals[0] >> np.uint64(1)])
+
+        cs.set_values_with_dependencies(
+            np.asarray([[low]], np.uint64),
+            np.asarray([bit, half], np.uint64), fn)
+        from ..cs.gates import BooleanConstraintGate
+        BooleanConstraintGate.enforce_batch(cs, [bit])
+        UInt32(cs, half).enforce_range(table_ids)  # half < 2^32 (31 bits used)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        FmaGate.enforce_fma_batch(cs, 2, ([one], [half]), 1, [bit], [low])
+        return Boolean(cs, bit)
+
+    def widening_mul(self, other, table_ids: dict = None) -> "UInt512":
+        """Full product (reference u256 widening_mul, u256/mod.rs:218):
+        byte-limbed schoolbook over the U8x4FMA gate — the same
+        fma-with-carry chain as the reference, batched per diagonal."""
+        from ..cs.gates.arith import U8x4FMAGate
+        cs = self.cs
+        sl, ol = self.NUM_LIMBS, other.NUM_LIMBS
+        assert sl + ol <= 16
+        a_bytes = [l.to_bytes(table_ids) for l in self.limbs]
+        b_bytes = [l.to_bytes(table_ids) for l in other.limbs]
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        zero4 = [zero] * 4
+        rem = [list(zero4) for _ in range(sl + ol)]  # byte quads
+        for i in range(sl):
+            carry = list(zero4)
+            for j in range(ol):
+                low4, high4, pc2 = U8x4FMAGate.perform_fma_batch(
+                    cs, [a_bytes[i]], [b_bytes[j]],
+                    [zero4 if i == 0 else rem[i + j]], [carry])
+                low4 = [int(v) for v in low4[0]]
+                high4 = [int(v) for v in high4[0]]
+                byte_range_check(cs, low4 + high4 + [int(pc2[0, 0]),
+                                                     int(pc2[0, 1])],
+                                 table_ids)
+                rem[i + j] = low4
+                carry = high4
+            rem[i + ol] = carry
+        out_limbs = []
+        for quad in rem:
+            acc = ReductionGate.reduce_terms(
+                cs, [1, 1 << 8, 1 << 16, 1 << 24], quad)
+            out_limbs.append(UInt32(cs, acc))
+        out_limbs += [UInt32.allocate_constant(cs, 0)
+                      for _ in range(16 - sl - ol)]
+        return UInt512(cs, out_limbs)
+
+    def div_rem(self, other, table_ids: dict = None):
+        """Euclidean division: returns (q, r) with self = q·other + r,
+        r < other, both range-checked. (No reference analogue — its u256 has
+        only widening_mul; provided for parity with VERDICT item 8.)"""
+        cs = self.cs
+        a = self.get_witness() if cs.resolver else 0
+        b = other.get_witness() if cs.resolver else 1
+        qv, rv = divmod(a, b) if b else (0, 0)
+        q = type(self).allocate_checked(cs, qv, table_ids)
+        r = type(self).allocate_checked(cs, rv, table_ids)
+        wide = q.widening_mul(other, table_ids)
+        r_ext = UInt512(cs, list(r.limbs) + [UInt32.allocate_constant(cs, 0)
+                                             for _ in range(16 - self.NUM_LIMBS)])
+        total, carry = wide.add(r_ext)
+        from .num import CircuitOps
+        ops = CircuitOps(cs)
+        ops.enforce_equal(carry.variable, ops.from_int(0))
+        for k, l in enumerate(total.limbs):
+            want = self.limbs[k].variable if k < self.NUM_LIMBS \
+                else ops.from_int(0)
+            ops.enforce_equal(l.variable, want)
+        # r < other: r - other must borrow
+        _, borrow = r.sub(other)
+        ops.enforce_equal(borrow.variable, ops.from_int(1))
+        return q, r
+
 
 class UInt160(_MultiLimbUInt):
     NUM_LIMBS = 5
@@ -337,6 +494,24 @@ class UInt160(_MultiLimbUInt):
 
 class UInt256(_MultiLimbUInt):
     NUM_LIMBS = 8
+
+    def div2(self, table_ids: dict = None) -> "UInt256":
+        """Shift right by one (reference u256 div2)."""
+        cs = self.cs
+        v = self.get_witness() if cs.resolver else 0
+        half = UInt256.allocate_checked(cs, v >> 1, table_ids)
+        bit = self.is_odd(table_ids)
+        # self == 2·half + bit, limbwise via doubling add with carries
+        dbl, top = half.add(half)
+        from .num import CircuitOps
+        ops = CircuitOps(cs)
+        ops.enforce_equal(top.variable, ops.from_int(0))
+        # limb 0 of 2·half is even, so adding the parity bit cannot carry
+        s = ops.add(dbl.limbs[0].variable, bit.variable)
+        ops.enforce_equal(s, self.limbs[0].variable)
+        for k in range(1, self.NUM_LIMBS):
+            ops.enforce_equal(dbl.limbs[k].variable, self.limbs[k].variable)
+        return half
 
 
 class UInt512(_MultiLimbUInt):

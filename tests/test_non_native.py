@@ -86,3 +86,34 @@ def test_curve_scalar_mul():
     assert out.y.get_witness() == want[1]
     cs.pad_and_shrink()
     assert cs.check_if_satisfied()
+
+
+def test_non_native_sub_div_canonical():
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 14)
+    params = NonNativeParams.for_modulus(BN254)
+    a_val = int.from_bytes(RNG.bytes(31), "big") % BN254
+    b_val = int.from_bytes(RNG.bytes(31), "big") % BN254
+    a = NonNativeField.allocate_checked(cs, params, a_val)
+    b = NonNativeField.allocate_checked(cs, params, b_val)
+    assert a.sub(b).get_witness() == (a_val - b_val) % BN254
+    assert b.sub(a).get_witness() == (b_val - a_val) % BN254
+    assert a.neg().get_witness() == (-a_val) % BN254
+    d = a.div(b)
+    assert d.get_witness() == a_val * pow(b_val, -1, BN254) % BN254
+    inv = b.inverse()
+    assert inv.get_witness() == pow(b_val, -1, BN254)
+    a.enforce_canonical()
+    a.equals_canonical(NonNativeField.allocate_checked(cs, params, a_val))
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_non_native_div_corruption_detected():
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 14)
+    params = NonNativeParams.for_modulus(BN254)
+    a = NonNativeField.allocate_checked(cs, params, 999)
+    b = NonNativeField.allocate_checked(cs, params, 77)
+    d = a.div(b)
+    cs.resolver.values[d.limbs[0]] ^= 1
+    cs.pad_and_shrink()
+    assert not cs.check_if_satisfied(verbose=False)
