@@ -92,6 +92,15 @@ def _node_jit(m: int):
 _TAIL_FUSE_SIZE = 1 << 12
 
 
+def _full_fuse_size():
+    """Trees at most this many leaves build as ONE dispatch (leaf hashing +
+    every node layer in a single program). TPU only: XLA:CPU compile time on
+    a 16-deep chain of unrolled Poseidon2 layers is pathological (minutes),
+    while on TPU it compiles fast and removes a tunnel roundtrip per layer."""
+    import jax
+    return _TAIL_FUSE_SIZE if jax.default_backend() == "cpu" else (1 << 16)
+
+
 @functools.lru_cache(maxsize=None)
 def _tail_jit(m: int, cap_size: int):
     """All node layers from size m down to the cap in ONE dispatch — below
@@ -101,6 +110,24 @@ def _tail_jit(m: int, cap_size: int):
     def f(lo, hi):
         outs = []
         cur = GL(lo, hi)
+        while cur.lo.shape[1] > cap_size:
+            cur = _node_layer_traced(cur)
+            outs.extend((cur.lo, cur.hi))
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _full_tree_jit(k: int, m: int, cap_size: int):
+    """Leaf hashing + EVERY node layer in one program (small/medium trees —
+    all FRI-layer oracles; saves one dispatch + tunnel roundtrip per
+    layer)."""
+
+    def f(lo, hi):
+        leaves = _leaf_hashes_traced(GL(lo, hi))
+        outs = [leaves.lo, leaves.hi]
+        cur = leaves
         while cur.lo.shape[1] > cap_size:
             cur = _node_layer_traced(cur)
             outs.extend((cur.lo, cur.hi))
@@ -122,6 +149,9 @@ def _pad_cols_to_rate(cols: GL):
 def _tree_from_leaf_cols(cols: GL, cap_size: int) -> "DeviceTree":
     cols = _pad_cols_to_rate(cols)
     k, m = cols.shape
+    if m <= _full_fuse_size():
+        out = _full_tree_jit(k, m, cap_size)(cols.lo, cols.hi)
+        return DeviceTree(list(zip(out[0::2], out[1::2])))
     lo, hi = _leaf_jit(k, m)(cols.lo, cols.hi)
     layers = [(lo, hi)]
     cur_m = m

@@ -63,12 +63,24 @@ def create_device_setup(cs, setup_base, proof_config, hasher="poseidon2",
 
 class DeviceProver:
     def __init__(self, cs: ConstraintSystem, artifacts: ProvingArtifacts,
-                 proof_config: ProofConfig, mesh=None):
+                 proof_config: ProofConfig, mesh=None, fuse=None):
         """mesh: optional 1-D jax.sharding.Mesh — when given, oracles, NTTs,
         the grand-product scan and Merkle trees run sharded over the mesh
         (the multi-chip path, BASELINE configs[4]); proof bytes are identical
-        to the single-device path."""
+        to the single-device path.
+
+        fuse: build each quotient phase (all lookup terms / all repetitions
+        of a gate / all copy-permutation relations) as ONE jit program —
+        fewer dispatches over the device tunnel. Defaults to on for
+        accelerator backends, off on CPU where XLA compile time for the
+        wide fused carry-chain graphs is pathological (minutes on a small
+        host); the fused and rolled paths produce byte-identical proofs
+        (tests/test_prove_verify.py::test_fused_quotient_matches_rolled)."""
+        import jax
         self.mesh = mesh
+        if fuse is None:
+            fuse = jax.default_backend() != "cpu"
+        self.fuse = fuse and mesh is None
         sb = artifacts.setup_base
         self.cs = cs
         self.artifacts = artifacts
@@ -90,6 +102,9 @@ class DeviceProver:
         self.num_intermediates = max(-(-self.num_var // self.qd) - 1, 0)
         self.non_res = non_residues_for_copy_permutation(self.n, self.num_var)
         self._gate_jits = {}
+        # device arrays that do not depend on the witness or transcript —
+        # uploaded/computed once, reused by every prove() on this instance
+        self._prove_invariant = {}
 
     def _make_oracle(self, cols_u64, lde, cap_size, hasher, tree_lde=None,
                      monomials=None):
@@ -125,6 +140,65 @@ class DeviceProver:
         self._gate_jits[ev.name] = j
         return j
 
+    # -- fused per-gate sweep: all repetitions of one gate in one program ----
+
+    def _gate_sweep_fn(self, ev, reps, path_len, base_var, base_wit,
+                       base_const, spec_base=None):
+        key = (ev.name, reps, path_len, base_var, base_wit, base_const,
+               spec_base)
+        if key in self._gate_jits:
+            return self._gate_jits[key]
+        import jax
+        import jax.numpy as jnp_
+        dv, dw, dc = ev.per_chunk_offset
+        nv_, nw_ = ev.num_variables, ev.num_witnesses
+        nc_ = max(ev.num_constants, _consts_read(ev))
+        T = ev.num_quotient_terms
+        if spec_base is not None:
+            var_idx = np.asarray([[spec_base + r * nv_ + i
+                                   for r in range(reps)] for i in range(nv_)])
+        else:
+            var_idx = np.asarray([[base_var + r * dv + i
+                                   for r in range(reps)] for i in range(nv_)])
+        wit_idx = np.asarray([[base_wit + r * dw + i for r in range(reps)]
+                              for i in range(nw_)])
+        const_idx = np.asarray([[base_const + r * dc + i
+                                 for r in range(reps)] for i in range(nc_)])
+
+        def fn(w_lo, w_hi, s_lo, s_hi, sel_lo, sel_hi, alphas):
+            vars_ = [GL(w_lo[:, var_idx[i]], w_hi[:, var_idx[i]])
+                     for i in range(nv_)]
+            wits = [GL(w_lo[:, wit_idx[i]], w_hi[:, wit_idx[i]])
+                    for i in range(nw_)]
+            consts = [GL(s_lo[:, const_idx[i]], s_hi[:, const_idx[i]])
+                      for i in range(nc_)]
+            src = TraceView(vars_, wits, consts)
+            terms = ev.evaluate(src, GLOps)
+            size = w_lo.shape[0]
+            acc0 = gl.zeros((size, reps))
+            acc1 = gl.zeros((size, reps))
+            # alpha for (rep r, term t) = alphas[r*T + t] (rep-major order)
+            al = alphas.reshape(reps, T, 2, 2)
+            for t, term in enumerate(terms):
+                term = GL(jnp_.broadcast_to(term.lo, (size, reps)),
+                          jnp_.broadcast_to(term.hi, (size, reps)))
+                a0 = GL(jnp_.broadcast_to(al[None, :, t, 0, 0], (size, reps)),
+                        jnp_.broadcast_to(al[None, :, t, 0, 1], (size, reps)))
+                a1 = GL(jnp_.broadcast_to(al[None, :, t, 1, 0], (size, reps)),
+                        jnp_.broadcast_to(al[None, :, t, 1, 1], (size, reps)))
+                acc0 = gl.add(acc0, gl.mul(term, a0))
+                acc1 = gl.add(acc1, gl.mul(term, a1))
+            s0 = device._sum_gl(acc0, axis=1)
+            s1 = device._sum_gl(acc1, axis=1)
+            sel = GL(sel_lo, sel_hi)
+            s0 = gl.mul(s0, sel)
+            s1 = gl.mul(s1, sel)
+            return s0.lo, s0.hi, s1.lo, s1.hi
+
+        j = jax.jit(fn)
+        self._gate_jits[key] = j
+        return j
+
     # -- the prove pipeline --------------------------------------------------
 
     def prove(self, transcript_kind="poseidon", hasher="poseidon2",
@@ -141,6 +215,15 @@ class DeviceProver:
                 print("[dev-prove] %-24s %.2fs" % (label, now - _t[0]),
                       file=_sys.stderr, flush=True)
                 _t[0] = now
+
+        def _sync(label, *arrays):
+            # fine-grained attribution: JAX dispatch is async, so without a
+            # sync the cost of a step shows up at the NEXT blocking point
+            if verbose:
+                import jax
+                for a in arrays:
+                    jax.block_until_ready(a)
+                _stage("  " + label)
 
         cs = self.cs
         sb = self.artifacts.setup_base
@@ -165,6 +248,7 @@ class DeviceProver:
         public_values = [v for (_, _, v) in publics]
         transcript.witness_field_elements(public_values)
 
+        _sync("witness materialize")
         witness_src = np.concatenate(
             [variables_cols, witness_cols, mult_cols], axis=0)
         witness_oracle = self._make_oracle(witness_src, used_lde, cap_size,
@@ -189,9 +273,30 @@ class DeviceProver:
         gpow_a = [scalar_ext(c) for c in gamma_pows_list]
 
         # -- stage 2+3 on the base domain -----------------------------------
-        vars_dev = device.to_device_cols(variables_cols)  # (n, num_var)
-        sig_dev = device.to_device_cols(sb.copy_permutation_polys)
-        x_dev = gl.from_u64(npgl.powers(omega, n))
+        # base-domain columns are SLICED from the oracles' retained device
+        # copies (zero transfer); prove-invariant arrays (x powers, sigmas
+        # when the oracle has no device copy) are cached across proves —
+        # the tunnel sustains only ~8-10 MB/s, so per-prove re-uploads of
+        # the ~75 MB vars+sigmas dominated the stage (round-2 profiling)
+        wl = getattr(witness_oracle, "lagrange", None)
+        if wl is not None:
+            vars_dev = GL(wl.lo[:, :self.num_var], wl.hi[:, :self.num_var])
+        else:
+            vars_dev = device.to_device_cols(variables_cols)
+        sl = getattr(setup_oracle, "lagrange", None)
+        if sl is not None:
+            sig_dev = GL(sl.lo[:, :self.num_var], sl.hi[:, :self.num_var])
+        elif "sig_dev" in self._prove_invariant:
+            sig_dev = self._prove_invariant["sig_dev"]
+        else:
+            sig_dev = device.to_device_cols(sb.copy_permutation_polys)
+            self._prove_invariant["sig_dev"] = sig_dev
+        if "x_dev" in self._prove_invariant:
+            x_dev = self._prove_invariant["x_dev"]
+        else:
+            x_dev = gl.from_u64(npgl.powers(omega, n))
+            self._prove_invariant["x_dev"] = x_dev
+        _sync("s2 uploads", vars_dev.lo, sig_dev.lo, x_dev.lo)
 
         def col(m, j):
             return m.lo[:, j], m.hi[:, j]
@@ -202,6 +307,12 @@ class DeviceProver:
         tbl_dev = tid_dev = mult_dev = None
         if lp.lookup_is_allowed:
             width = lp.lookup_width()
+
+            def _setup_slice(a, b):
+                if sl is not None:
+                    return GL(sl.lo[:, a:b], sl.hi[:, a:b])
+                return None
+
             if lp.is_specialized:
                 pw = lp.specialized_columns_per_repetition()
                 base_off = geometry.num_columns_under_copy_permutation
@@ -210,22 +321,48 @@ class DeviceProver:
                 base_off = 0
                 # general-purpose: A_i = sel/agg_i; sel = marker selector
                 # product over base-domain constant columns
-                marker_path = sb.selector_paths[0]
-                const_dev = device.to_device_cols(
-                    sb.constant_columns[:len(marker_path)]) \
-                    if marker_path else None
-                sel_base = gl.ones((n,)).astuple()
-                for k_, bit in enumerate(marker_path):
-                    c_lo, c_hi = col(const_dev, k_)
-                    if not bit:
-                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
-                    sel_base = jbase_mul(sel_base[0], sel_base[1], c_lo, c_hi)
-            tbl_dev = device.to_device_cols(sb.lookup_tables_columns)
-            tid_dev = device.to_device_cols(
-                sb.constant_columns[sb.table_ids_column_idxes[0]:
-                                    sb.table_ids_column_idxes[0] + 1]) \
-                if lp.id_in_constant else None
-            mult_dev = device.to_device_cols(mult_cols)
+                if "sel_base" in self._prove_invariant:
+                    sel_base = self._prove_invariant["sel_base"]
+                else:
+                    marker_path = sb.selector_paths[0]
+                    const_dev = _setup_slice(
+                        self.num_var, self.num_var + len(marker_path)) \
+                        if marker_path else None
+                    if const_dev is None and marker_path:
+                        const_dev = device.to_device_cols(
+                            sb.constant_columns[:len(marker_path)])
+                    sel_base = gl.ones((n,)).astuple()
+                    for k_, bit in enumerate(marker_path):
+                        c_lo, c_hi = col(const_dev, k_)
+                        if not bit:
+                            c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
+                        sel_base = jbase_mul(sel_base[0], sel_base[1],
+                                             c_lo, c_hi)
+                    self._prove_invariant["sel_base"] = sel_base
+            tbl_dev = _setup_slice(self.num_var + self.num_const,
+                                   self.num_var + self.num_const
+                                   + self.num_table)
+            if tbl_dev is None:
+                if "tbl_dev" not in self._prove_invariant:
+                    self._prove_invariant["tbl_dev"] = \
+                        device.to_device_cols(sb.lookup_tables_columns)
+                tbl_dev = self._prove_invariant["tbl_dev"]
+            if lp.id_in_constant:
+                tcol = self.num_var + sb.table_ids_column_idxes[0]
+                tid_dev = _setup_slice(tcol, tcol + 1)
+                if tid_dev is None:
+                    if "tid_dev" not in self._prove_invariant:
+                        self._prove_invariant["tid_dev"] = \
+                            device.to_device_cols(sb.constant_columns[
+                                sb.table_ids_column_idxes[0]:
+                                sb.table_ids_column_idxes[0] + 1])
+                    tid_dev = self._prove_invariant["tid_dev"]
+            if wl is not None:
+                moff = self.num_var + self.num_wit
+                mult_dev = GL(wl.lo[:, moff:moff + 1],
+                              wl.hi[:, moff:moff + 1])
+            else:
+                mult_dev = device.to_device_cols(mult_cols)
 
         if self.mesh is None:
             # fused single-dispatch stage 2+3 (bit-identical field math)
@@ -308,11 +445,13 @@ class DeviceProver:
             s2_hi = jnp.stack(
                 [a for ev_ in stage2_evs for a in (ev_.a[1], ev_.a[3])], axis=1)
         stage2_base = GL(s2_lo, s2_hi)
+        _sync("s2 fused program", stage2_base.lo)
         if self.mesh is not None:
             from ..parallel.sharded_oracle import sharded_cols_to_monomials
             stage2_monos = sharded_cols_to_monomials(self.mesh, stage2_base)
         else:
             stage2_monos = device.cols_to_monomials(stage2_base)
+        _sync("s2 monomials", stage2_monos.lo)
         stage2_oracle = self._make_oracle(None, used_lde, cap_size, hasher,
                                           tree_lde=fri_lde,
                                           monomials=stage2_monos)
@@ -342,7 +481,11 @@ class DeviceProver:
         w_flat = witness_oracle.flat[:size]
         s_flat = setup_oracle.flat[:size]
         g2_flat = stage2_oracle.flat[:size]
-        x_lde = gl.from_u64(device.x_poly_lde_host(n, qd).reshape(-1))
+        if "x_lde" in self._prove_invariant:
+            x_lde = self._prove_invariant["x_lde"]
+        else:
+            x_lde = gl.from_u64(device.x_poly_lde_host(n, qd).reshape(-1))
+            self._prove_invariant["x_lde"] = x_lde
 
         def fcol(m, j):
             return m.lo[:, j], m.hi[:, j]
@@ -364,41 +507,64 @@ class DeviceProver:
                         c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
                     sel_flat = jbase_mul(sel_flat[0], sel_flat[1], c_lo, c_hi)
             a_off = 2 * (1 + self.num_intermediates)
-            for rep in range(num_lookup_subargs):
-                agg = EV.const(lookup_beta, (size,))
-                for i in range(pw):
-                    c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
-                    agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
-                if lp.id_in_constant:
-                    tid_idx = self.num_var + sb.table_ids_column_idxes[0]
-                    t_lo, t_hi = fcol(s_flat, tid_idx)
-                    agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
-                a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
-                            g2_flat.hi[:, a_off + 2 * rep],
-                            g2_flat.lo[:, a_off + 2 * rep + 1],
-                            g2_flat.hi[:, a_off + 2 * rep + 1])
-                prod = a_poly * agg
-                if sel_flat is None:
-                    term = EV(*jext_sub_one_c0(*prod.a))
-                else:
-                    z_ = jnp.zeros_like(sel_flat[0])
-                    term = prod - EV(sel_flat[0], sel_flat[1], z_, z_)
+            if self.fuse:
+                # all lookup terms in one program
+                lk = _lookup_quotient_jit(
+                    size, num_lookup_subargs, width, pw, base_off, a_off,
+                    bool(lp.id_in_constant), sel_flat is not None,
+                    self.num_table,
+                    self.num_var + (sb.table_ids_column_idxes[0]
+                                    if lp.id_in_constant else 0),
+                    self.num_var + self.num_const,
+                    self.num_var + self.num_wit)
+                n_lk = num_lookup_subargs + 1
+                lk_alphas = jnp.asarray(
+                    np.stack(alpha_arrs[ai:ai + n_lk]))
+                zero_s = jnp.zeros((size,), jnp.uint32)
+                out = lk(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                         g2_flat.lo, g2_flat.hi,
+                         sel_flat[0] if sel_flat is not None else zero_s,
+                         sel_flat[1] if sel_flat is not None else zero_s,
+                         jnp.asarray(lbeta_a),
+                         jnp.asarray(np.stack(gpow_a)), lk_alphas)
+                acc = acc + EV(*out)
+                ai += n_lk
+            else:
+                for rep in range(num_lookup_subargs):
+                    agg = EV.const(lookup_beta, (size,))
+                    for i in range(pw):
+                        c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
+                        agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
+                    if lp.id_in_constant:
+                        tid_idx = self.num_var + sb.table_ids_column_idxes[0]
+                        t_lo, t_hi = fcol(s_flat, tid_idx)
+                        agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
+                    a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
+                                g2_flat.hi[:, a_off + 2 * rep],
+                                g2_flat.lo[:, a_off + 2 * rep + 1],
+                                g2_flat.hi[:, a_off + 2 * rep + 1])
+                    prod = a_poly * agg
+                    if sel_flat is None:
+                        term = EV(*jext_sub_one_c0(*prod.a))
+                    else:
+                        z_ = jnp.zeros_like(sel_flat[0])
+                        term = prod - EV(sel_flat[0], sel_flat[1], z_, z_)
+                    acc = acc + term.scale(alpha_arrs[ai])
+                    ai += 1
+                agg_t = EV.const(lookup_beta, (size,))
+                tbl_base = self.num_var + self.num_const
+                for i in range(self.num_table):
+                    t_lo, t_hi = fcol(s_flat, tbl_base + i)
+                    agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
+                b_off = a_off + 2 * num_lookup_subargs
+                b_poly = EV(g2_flat.lo[:, b_off], g2_flat.hi[:, b_off],
+                            g2_flat.lo[:, b_off + 1], g2_flat.hi[:, b_off + 1])
+                term = b_poly * agg_t
+                m_lo, m_hi = fcol(w_flat, self.num_var + self.num_wit)
+                mz = jnp.zeros_like(m_lo)
+                term = term - EV(m_lo, m_hi, mz, mz)
                 acc = acc + term.scale(alpha_arrs[ai])
                 ai += 1
-            agg_t = EV.const(lookup_beta, (size,))
-            tbl_base = self.num_var + self.num_const
-            for i in range(self.num_table):
-                t_lo, t_hi = fcol(s_flat, tbl_base + i)
-                agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
-            b_off = a_off + 2 * num_lookup_subargs
-            b_poly = EV(g2_flat.lo[:, b_off], g2_flat.hi[:, b_off],
-                        g2_flat.lo[:, b_off + 1], g2_flat.hi[:, b_off + 1])
-            term = b_poly * agg_t
-            m_lo, m_hi = fcol(w_flat, self.num_var + self.num_wit)
-            mz = jnp.zeros_like(m_lo)
-            term = term - EV(m_lo, m_hi, mz, mz)
-            acc = acc + term.scale(alpha_arrs[ai])
-            ai += 1
 
         # general gates × selector products
         sel_cache = {}
@@ -421,29 +587,52 @@ class DeviceProver:
 
         lookup_spec_cols = cs.specialized_copy_data.shape[0] \
             if cs.specialized_copy_data is not None else 0
+        ones_s = gl.ones((size,))
         for (snm, sstart, sreps) in cs.gate_spec_layout:
             sev = cs.evaluators_specialized[cs.specialized_idx_by_name[snm]]
-            rep_fn = self._gate_rep_fn(sev)
             base = geometry.num_columns_under_copy_permutation \
                 + lookup_spec_cols + sstart
-            for rep in range(sreps):
-                cols = [fcol(w_flat, base + rep * sev.num_variables + i)
-                        for i in range(sev.num_variables)]
-                terms = rep_fn([c[0] for c in cols], [c[1] for c in cols],
-                               [], [], [], [])
-                for t_i in range(len(terms) // 2):
-                    t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
-                    acc = acc + EV(*jscale_base(t_lo, t_hi, alpha_arrs[ai]))
-                    ai += 1
+            n_terms = sev.num_quotient_terms * sreps
+            if self.fuse:
+                sweep = self._gate_sweep_fn(sev, sreps, 0, 0, 0, 0,
+                                            spec_base=base)
+                al = jnp.asarray(np.stack(alpha_arrs[ai:ai + n_terms]))
+                out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                            ones_s.lo, ones_s.hi, al)
+                acc = acc + EV(*out)
+                ai += n_terms
+            else:
+                rep_fn = self._gate_rep_fn(sev)
+                for rep in range(sreps):
+                    cols = [fcol(w_flat, base + rep * sev.num_variables + i)
+                            for i in range(sev.num_variables)]
+                    terms = rep_fn([c[0] for c in cols], [c[1] for c in cols],
+                                   [], [], [], [])
+                    for t_i in range(len(terms) // 2):
+                        t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
+                        acc = acc + EV(*jscale_base(t_lo, t_hi, alpha_arrs[ai]))
+                        ai += 1
 
         for ev_idx, ev in enumerate(cs.evaluators_general):
             if ev.num_quotient_terms == 0:
                 continue
             path = sb.selector_paths[ev_idx]
             sel = selector_product(path)
+            reps = ev.num_repetitions(geometry)
+            n_terms = ev.num_quotient_terms * reps
+            if self.fuse:
+                sweep = self._gate_sweep_fn(
+                    ev, reps, len(path), 0, self.num_var,
+                    self.num_var + len(path))
+                al = jnp.asarray(np.stack(alpha_arrs[ai:ai + n_terms]))
+                out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                            sel[0], sel[1], al)
+                acc = acc + EV(*out)
+                ai += n_terms
+                continue
             rep_fn = self._gate_rep_fn(ev)
             dv, dw, dc = ev.per_chunk_offset
-            for rep in range(ev.num_repetitions(geometry)):
+            for rep in range(reps):
                 var_cols = [fcol(w_flat, rep * dv + i)
                             for i in range(ev.num_variables)]
                 wit_cols = [fcol(w_flat, self.num_var + rep * dw + i)
@@ -462,16 +651,20 @@ class DeviceProver:
                     ai += 1
 
         # copy-permutation boundary + recurrences
-        l1 = gl.from_u64(device.unnormalized_l1_lde_host(n, qd).reshape(-1))
-        z_flat = EV(g2_flat.lo[:, 0], g2_flat.hi[:, 0],
-                    g2_flat.lo[:, 1], g2_flat.hi[:, 1])
-        zm1 = EV(*jext_sub_one_c0(*z_flat.a))
-        acc = acc + EV(*jext_mul_base(*zm1.a, l1.lo, l1.hi)).scale(alpha_arrs[ai])
-        ai += 1
+        if "l1" in self._prove_invariant:
+            l1 = self._prove_invariant["l1"]
+        else:
+            l1 = gl.from_u64(
+                device.unnormalized_l1_lde_host(n, qd).reshape(-1))
+            self._prove_invariant["l1"] = l1
 
         # z shifted LDE from scaled monomials
         z_mono = GL(stage2_monos.lo[:, 0:2], stage2_monos.hi[:, 0:2])
-        scale_pows = gl.from_u64(npgl.powers(omega, n))
+        if "scale_pows" in self._prove_invariant:
+            scale_pows = self._prove_invariant["scale_pows"]
+        else:
+            scale_pows = gl.from_u64(npgl.powers(omega, n))
+            self._prove_invariant["scale_pows"] = scale_pows
         z_shift_mono = gl.mul(z_mono, GL(scale_pows.lo[:, None],
                                          scale_pows.hi[:, None]))
         if self.mesh is not None:
@@ -483,27 +676,53 @@ class DeviceProver:
         z_shift = EV(zs_lde.lo[:, 0], zs_lde.hi[:, 0],
                      zs_lde.lo[:, 1], zs_lde.hi[:, 1])
 
-        inters = [EV(g2_flat.lo[:, 2 + 2 * i], g2_flat.hi[:, 2 + 2 * i],
-                     g2_flat.lo[:, 3 + 2 * i], g2_flat.hi[:, 3 + 2 * i])
-                  for i in range(self.num_intermediates)]
-        lhs_list = inters + [z_shift]
-        rhs_list = [z_flat] + inters
-        for rel_idx, (lhs, rhs) in enumerate(zip(lhs_list, rhs_list)):
-            lhs_acc, rhs_acc = lhs, rhs
-            for j in range(rel_idx * qd, min((rel_idx + 1) * qd, self.num_var)):
-                w_lo, w_hi = fcol(w_flat, j)
-                sg_lo, sg_hi = fcol(s_flat, j)
-                den = EV(*jaffine(w_lo, w_hi, sg_lo, sg_hi, beta_a, gamma_a))
-                nr = scalar_ext((self.non_res[j], 0))
-                bx_lo, bx_hi = jbase_mul(
-                    x_lde.lo, x_lde.hi,
-                    jnp.broadcast_to(jnp.uint32(nr[0, 0]), (size,)),
-                    jnp.broadcast_to(jnp.uint32(nr[0, 1]), (size,)))
-                num_ = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
-                lhs_acc = lhs_acc * den
-                rhs_acc = rhs_acc * num_
-            acc = acc + (lhs_acc - rhs_acc).scale(alpha_arrs[ai])
+        num_rel = self.num_intermediates + 1
+        if self.fuse:
+            # boundary + all recurrence relations in one program
+            nr_host = np.asarray(self.non_res, np.uint64)
+            nrl = jnp.asarray((nr_host & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            nrh = jnp.asarray((nr_host >> np.uint64(32)).astype(np.uint32))
+            cp = _copyperm_quotient_jit(size, n, qd, self.num_var,
+                                        self.num_intermediates)
+            cp_alphas = jnp.asarray(
+                np.stack(alpha_arrs[ai:ai + 1 + num_rel]))
+            out = cp(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                     x_lde.lo, x_lde.hi, nrl, nrh,
+                     g2_flat.lo, g2_flat.hi,
+                     z_shift.a[0], z_shift.a[1], z_shift.a[2], z_shift.a[3],
+                     l1.lo, l1.hi, jnp.asarray(beta_a), jnp.asarray(gamma_a),
+                     cp_alphas)
+            acc = acc + EV(*out)
+            ai += 1 + num_rel
+        else:
+            z_flat = EV(g2_flat.lo[:, 0], g2_flat.hi[:, 0],
+                        g2_flat.lo[:, 1], g2_flat.hi[:, 1])
+            zm1 = EV(*jext_sub_one_c0(*z_flat.a))
+            acc = acc + EV(*jext_mul_base(*zm1.a, l1.lo, l1.hi)) \
+                .scale(alpha_arrs[ai])
             ai += 1
+            inters = [EV(g2_flat.lo[:, 2 + 2 * i], g2_flat.hi[:, 2 + 2 * i],
+                         g2_flat.lo[:, 3 + 2 * i], g2_flat.hi[:, 3 + 2 * i])
+                      for i in range(self.num_intermediates)]
+            lhs_list = inters + [z_shift]
+            rhs_list = [z_flat] + inters
+            for rel_idx, (lhs, rhs) in enumerate(zip(lhs_list, rhs_list)):
+                lhs_acc, rhs_acc = lhs, rhs
+                for j in range(rel_idx * qd,
+                               min((rel_idx + 1) * qd, self.num_var)):
+                    w_lo, w_hi = fcol(w_flat, j)
+                    sg_lo, sg_hi = fcol(s_flat, j)
+                    den = EV(*jaffine(w_lo, w_hi, sg_lo, sg_hi, beta_a, gamma_a))
+                    nr = scalar_ext((self.non_res[j], 0))
+                    bx_lo, bx_hi = jbase_mul(
+                        x_lde.lo, x_lde.hi,
+                        jnp.broadcast_to(jnp.uint32(nr[0, 0]), (size,)),
+                        jnp.broadcast_to(jnp.uint32(nr[0, 1]), (size,)))
+                    num_ = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
+                    lhs_acc = lhs_acc * den
+                    rhs_acc = rhs_acc * num_
+                acc = acc + (lhs_acc - rhs_acc).scale(alpha_arrs[ai])
+                ai += 1
         assert ai == total_terms
 
         # vanishing division + full-domain iNTT -> quotient monomials
@@ -684,12 +903,13 @@ class DeviceProver:
             fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,
                                 fri_lde, cap_size, hasher)
 
+        _stage("FRI folds+trees")
         pow_challenge = 0
         if new_pow_bits > 0:
             challenges = transcript.get_multiple_challenges(4)
-            grind = (pow_mod.keccak256_pow
-                     if self.proof_config.pow_hash == "keccak256"
-                     else pow_mod.blake2s_pow)
+            grind = {"keccak256": pow_mod.keccak256_pow,
+                     "poseidon2": pow_mod.poseidon2_pow,
+                     }.get(self.proof_config.pow_hash, pow_mod.blake2s_pow)
             pow_challenge = grind(challenges, new_pow_bits)
             transcript.witness_field_elements(
                 [pow_challenge & 0xFFFFFFFF, pow_challenge >> 32])
@@ -727,6 +947,7 @@ class DeviceProver:
             if hasattr(oracle, "prefetch"):
                 oracle.prefetch(idxs)
 
+        _stage("query prefetch")
         rounds = []
         for qi, (coset_idx, inner_idx) in enumerate(positions):
             rounds.append(SingleRoundQueries(
@@ -736,7 +957,7 @@ class DeviceProver:
                 setup_oracle.query(coset_idx, inner_idx, su_rows, qi),
                 _fri_queries(fri_result, schedule, n, coset_idx, inner_idx)))
 
-        _stage("FRI+queries")
+        _stage("query assembly")
         return Proof(
             proof_config=cfg,
             public_inputs=public_values,
@@ -931,6 +1152,143 @@ def _stage23_jit(n, num_var, qd, num_subargs, width, pw, base_off,
         return out_lo, out_hi
 
     import jax
+    return jax.jit(f)
+
+
+def _bcast_pair(arr2, shape):
+    """(2,) u32 leaf pair -> GL broadcast."""
+    import jax.numpy as jnp
+    return GL(jnp.broadcast_to(arr2[0], shape), jnp.broadcast_to(arr2[1], shape))
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_quotient_jit(size, num_subargs, width, pw, base_off, a_off,
+                         id_in_constant, has_sel, num_table, tid_idx,
+                         tbl_base, mult_idx):
+    """All lookup quotient terms (A relations + B relation) in one program."""
+    import jax
+    import jax.numpy as jnp
+    from ..field.extension import GL2
+
+    def f(w_lo, w_hi, s_lo, s_hi, g2_lo, g2_hi, sel_lo, sel_hi,
+          lbeta, gpow, alphas):
+        lw = GL(w_lo[:, base_off:base_off + num_subargs * pw],
+                w_hi[:, base_off:base_off + num_subargs * pw])
+        lw = lw.reshape(size, num_subargs, pw)
+        agg0 = _bcast_pair(lbeta[0], (size, num_subargs))
+        agg1 = _bcast_pair(lbeta[1], (size, num_subargs))
+        for i in range(pw):
+            coli = GL(lw.lo[:, :, i], lw.hi[:, :, i])
+            agg0 = gl.add(agg0, gl.mul(coli, _bcast_pair(gpow[i, 0], coli.lo.shape)))
+            agg1 = gl.add(agg1, gl.mul(coli, _bcast_pair(gpow[i, 1], coli.lo.shape)))
+        if id_in_constant:
+            tid = GL(s_lo[:, tid_idx][:, None], s_hi[:, tid_idx][:, None])
+            agg0 = gl.add(agg0, gl.mul(tid, _bcast_pair(gpow[width, 0], (size, 1))))
+            agg1 = gl.add(agg1, gl.mul(tid, _bcast_pair(gpow[width, 1], (size, 1))))
+        a_idx0 = np.asarray([a_off + 2 * r for r in range(num_subargs)])
+        a_idx1 = a_idx0 + 1
+        a_poly = GL2(GL(g2_lo[:, a_idx0], g2_hi[:, a_idx0]),
+                     GL(g2_lo[:, a_idx1], g2_hi[:, a_idx1]))
+        prod = ext2.mul(a_poly, GL2(agg0, agg1))  # (size, reps)
+        if has_sel:
+            sub0 = GL(jnp.broadcast_to(sel_lo[:, None], prod.c0.lo.shape),
+                      jnp.broadcast_to(sel_hi[:, None], prod.c0.lo.shape))
+        else:
+            sub0 = gl.ones((size, num_subargs))
+        prod = GL2(gl.sub(prod.c0, sub0), prod.c1)
+        # per-rep alpha scale + sum over reps (alphas[num_subargs] is B's)
+        al = alphas[:num_subargs]  # (reps, 2, 2)
+        a_ext = GL2(GL(al[None, :, 0, 0], al[None, :, 0, 1]),
+                    GL(al[None, :, 1, 0], al[None, :, 1, 1]))
+        scaled = ext2.mul(prod, GL2(
+            GL(jnp.broadcast_to(a_ext.c0.lo, prod.c0.lo.shape),
+               jnp.broadcast_to(a_ext.c0.hi, prod.c0.lo.shape)),
+            GL(jnp.broadcast_to(a_ext.c1.lo, prod.c1.lo.shape),
+               jnp.broadcast_to(a_ext.c1.hi, prod.c1.lo.shape))))
+        acc0 = device._sum_gl(scaled.c0, axis=1)
+        acc1 = device._sum_gl(scaled.c1, axis=1)
+        # B term
+        t0 = _bcast_pair(lbeta[0], (size,))
+        t1 = _bcast_pair(lbeta[1], (size,))
+        for i in range(num_table):
+            coli = GL(s_lo[:, tbl_base + i], s_hi[:, tbl_base + i])
+            t0 = gl.add(t0, gl.mul(coli, _bcast_pair(gpow[i, 0], (size,))))
+            t1 = gl.add(t1, gl.mul(coli, _bcast_pair(gpow[i, 1], (size,))))
+        b_off = a_off + 2 * num_subargs
+        b_poly = GL2(GL(g2_lo[:, b_off], g2_hi[:, b_off]),
+                     GL(g2_lo[:, b_off + 1], g2_hi[:, b_off + 1]))
+        term = ext2.mul(b_poly, GL2(t0, t1))
+        m = GL(w_lo[:, mult_idx], w_hi[:, mult_idx])
+        term = GL2(gl.sub(term.c0, m), term.c1)
+        b_alpha = GL2(_bcast_pair(alphas[num_subargs, 0], (size,)),
+                      _bcast_pair(alphas[num_subargs, 1], (size,)))
+        term = ext2.mul(term, b_alpha)
+        acc0 = gl.add(acc0, term.c0)
+        acc1 = gl.add(acc1, term.c1)
+        return acc0.lo, acc0.hi, acc1.lo, acc1.hi
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _copyperm_quotient_jit(size, n, qd, num_var, num_inter):
+    """Boundary + ALL grand-product recurrence relations in one program:
+    per relation, its qd columns' affine factors are built as (size, qd)
+    blocks and tree-multiplied."""
+    import jax
+    import jax.numpy as jnp
+    from ..field.extension import GL2
+
+    num_rel = num_inter + 1
+
+    def f(w_lo, w_hi, s_lo, s_hi, x_lo, x_hi, nrl, nrh, g2_lo, g2_hi,
+          zs0l, zs0h, zs1l, zs1h, l1_lo, l1_hi, beta, gamma, alphas):
+        z = GL2(GL(g2_lo[:, 0], g2_hi[:, 0]), GL(g2_lo[:, 1], g2_hi[:, 1]))
+        inters = [GL2(GL(g2_lo[:, 2 + 2 * i], g2_hi[:, 2 + 2 * i]),
+                      GL(g2_lo[:, 3 + 2 * i], g2_hi[:, 3 + 2 * i]))
+                  for i in range(num_inter)]
+        z_shift = GL2(GL(zs0l, zs0h), GL(zs1l, zs1h))
+        # boundary: (z - 1)·L1·α₀
+        zm1 = GL2(gl.sub(z.c0, gl.ones((size,))), z.c1)
+        l1 = GL(l1_lo, l1_hi)
+        bterm = GL2(gl.mul(zm1.c0, l1), gl.mul(zm1.c1, l1))
+        a0 = GL2(_bcast_pair(alphas[0, 0], (size,)),
+                 _bcast_pair(alphas[0, 1], (size,)))
+        accv = ext2.mul(bterm, a0)
+        acc0, acc1 = accv.c0, accv.c1
+
+        def affine_block(base_arr, other):
+            b0 = _bcast_pair(beta[0], other.lo.shape)
+            b1 = _bcast_pair(beta[1], other.lo.shape)
+            g0 = _bcast_pair(gamma[0], other.lo.shape)
+            g1 = _bcast_pair(gamma[1], other.lo.shape)
+            return GL2(gl.add(gl.add(base_arr, gl.mul(other, b0)), g0),
+                       gl.add(gl.mul(other, b1), g1))
+
+        lhs_list = inters + [z_shift]
+        rhs_list = [z] + inters
+        x = GL(x_lo, x_hi)
+        for rel in range(num_rel):
+            j0 = rel * qd
+            j1 = min(j0 + qd, num_var)
+            w = GL(w_lo[:, j0:j1], w_hi[:, j0:j1])
+            sg = GL(s_lo[:, j0:j1], s_hi[:, j0:j1])
+            nrx = gl.mul(GL(x.lo[:, None], x.hi[:, None]),
+                         GL(nrl[None, j0:j1], nrh[None, j0:j1]))
+            dens = affine_block(w, sg)
+            nums = affine_block(w, nrx)
+            den_p = _ext_prod_last(dens)
+            num_p = _ext_prod_last(nums)
+            lhs_acc = ext2.mul(lhs_list[rel], den_p)
+            rhs_acc = ext2.mul(rhs_list[rel], num_p)
+            term = ext2.sub(lhs_acc, rhs_acc)
+            a = GL2(_bcast_pair(alphas[rel + 1, 0], (size,)),
+                    _bcast_pair(alphas[rel + 1, 1], (size,)))
+            term = ext2.mul(term, a)
+            acc0 = gl.add(acc0, term.c0)
+            acc1 = gl.add(acc1, term.c1)
+        return acc0.lo, acc0.hi, acc1.lo, acc1.hi
+
     return jax.jit(f)
 
 

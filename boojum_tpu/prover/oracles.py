@@ -122,8 +122,18 @@ class DeviceOracle:
                  hasher: str, tree_lde: int = None, monomials=None):
         import jax.numpy as jnp
 
+        self.lagrange = None  # (n, k) device plain-domain values (when known)
         if monomials is None:
-            cols_dev = device.to_device_cols(lagrange_cols_u64)
+            import jax
+            # packed upload: only a win over the device tunnel (measured
+            # ~8-10 MB/s up); on CPU the reassembly gather is pure overhead
+            up = (device.to_device_cols_packed
+                  if jax.default_backend() != "cpu" else device.to_device_cols)
+            cols_dev = up(lagrange_cols_u64)
+            # retained so the prover can SLICE base-domain columns (witness
+            # vars, sigmas, tables) instead of re-uploading them per prove —
+            # the upload was the top stage-2 cost over the tunnel
+            self.lagrange = cols_dev
             monomials = device.cols_to_monomials(cols_dev)
         self.monomials = monomials  # (n, k) device
         self.n = monomials.shape[0]

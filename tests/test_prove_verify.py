@@ -70,11 +70,12 @@ def build_small_circuit(with_lookup=False, with_public=True, n_fma=30):
 
 
 def run_roundtrip(cs, transcript_kind="poseidon2", hasher="poseidon2",
-                  fri_lde=8, pow_bits=0):
+                  fri_lde=8, pow_bits=0, pow_hash="blake2s"):
     assert cs.check_if_satisfied()
     setup_base = create_base_setup(cs)
     cfg = ProofConfig(fri_lde_factor=fri_lde, merkle_tree_cap_size=4,
-                      security_level=100, pow_bits=pow_bits)
+                      security_level=100, pow_bits=pow_bits,
+                      pow_hash=pow_hash)
     artifacts = create_setup_and_vk(cs, setup_base, cfg, hasher)
     proof = prove(cs, artifacts, cfg, transcript_kind, hasher)
     ok = verify(artifacts.vk, proof, transcript_kind, hasher)
@@ -105,6 +106,30 @@ def test_prove_verify_with_pow():
     proof, artifacts, ok = run_roundtrip(cs, pow_bits=8)
     assert ok
     assert proof.pow_challenge != 0 or True  # nonce may be 0 legitimately
+
+
+def test_prove_verify_with_algebraic_pow():
+    """Poseidon2 PoW (pow.py): grind + verify end-to-end, and a wrong nonce
+    is rejected."""
+    import copy
+
+    cs = build_small_circuit(with_lookup=False, n_fma=5)
+    proof, artifacts, ok = run_roundtrip(cs, pow_bits=8,
+                                         pow_hash="poseidon2")
+    assert ok
+    bad = copy.deepcopy(proof)
+    bad.pow_challenge ^= 1
+    assert not verify(artifacts.vk, bad, "poseidon2", "poseidon2")
+
+
+def test_poseidon2_pow_unit():
+    from boojum_tpu.prover import pow as pow_mod
+    ch = [123, 456, 789, 1011]
+    nonce = pow_mod.poseidon2_pow(ch, 10, batch=2048)
+    assert pow_mod.verify_poseidon2_pow(ch, 10, nonce)
+    assert not pow_mod.verify_poseidon2_pow(ch, 10, nonce + 1)
+    # grind/verify agree with the scalar twin digest definition
+    assert pow_mod._poseidon2_digest(ch, nonce) < (1 << (64 - 10))
 
 
 def test_corrupted_proof_fails():
@@ -189,6 +214,26 @@ def test_device_prover_matches_host():
     dev_proof = dp.prove("poseidon2", "poseidon2")
     assert verify(dev_art.vk, dev_proof, "poseidon2", "poseidon2")
     assert proof_to_json(host_proof) == proof_to_json(dev_proof)
+
+
+@pytest.mark.slow
+def test_fused_quotient_matches_rolled():
+    """The fused single-dispatch quotient path (DeviceProver(fuse=True), the
+    TPU default) is byte-identical to the rolled path (the CPU default).
+    Slow: XLA:CPU compile of the fused carry-chain programs takes minutes."""
+    from boojum_tpu.prover.device_prover import DeviceProver, create_device_setup
+    from boojum_tpu.prover.proof import proof_to_json
+
+    cs = build_small_circuit(with_lookup=True, n_fma=12)
+    sb = create_base_setup(cs)
+    cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4)
+    dev_art = create_device_setup(cs, sb, cfg, "poseidon2")
+    rolled = DeviceProver(cs, dev_art, cfg, fuse=False).prove(
+        "poseidon2", "poseidon2")
+    fused = DeviceProver(cs, dev_art, cfg, fuse=True).prove(
+        "poseidon2", "poseidon2")
+    assert proof_to_json(rolled) == proof_to_json(fused)
+    assert verify(dev_art.vk, fused, "poseidon2", "poseidon2")
 
 
 def test_prove_one_shot_convenience():
