@@ -50,6 +50,7 @@ class AllocatedProof:
     values_at_z_omega: list
     values_at_0: list
     queries: list  # per query: dict of leaf-value lists + path node lists
+    pow_nonce: tuple = None  # (nonce_lo, nonce_hi) vars when pow_bits > 0
 
     @classmethod
     def allocate(cls, cs: ConstraintSystem, proof: Proof) -> "AllocatedProof":
@@ -85,6 +86,9 @@ class AllocatedProof:
             values_at_z_omega=pairs(proof.values_at_z_omega),
             values_at_0=pairs(proof.values_at_0),
             queries=queries,
+            pow_nonce=((a(proof.pow_challenge & 0xFFFFFFFF),
+                        a(proof.pow_challenge >> 32))
+                       if proof.proof_config.pow_bits > 0 else None),
         )
 
 
@@ -309,7 +313,6 @@ def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
     new_pow_bits, num_queries, schedule, final_degree = compute_fri_schedule(
         proof_config.security_level, cap_size, proof_config.pow_bits,
         fri_lde.bit_length() - 1, log_n)
-    assert new_pow_bits == 0, "circuit PoW not implemented in round 1"
     tr.witness_merkle_tree_cap(proof.fri_base_cap)
     fri_challenges = []
     for i, k in enumerate(schedule):
@@ -318,6 +321,29 @@ def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
         fri_challenges.append(tuple(tr.get_multiple_challenges(2)))
     tr.witness_field_elements(proof.final_fri_monomials[0])
     tr.witness_field_elements(proof.final_fri_monomials[1])
+
+    if new_pow_bits > 0:
+        # Algebraic circuit PoW: ONE in-circuit Poseidon2 permutation over
+        # [c0..c3, nonce_lo, nonce_hi, 0...]; digest = out[0] canonical,
+        # enforce its top `new_pow_bits` bits zero (prover/pow.py
+        # poseidon2_pow). The reference cannot do this at all: its circuit
+        # PoW verification is todo!()
+        # (src/gadgets/recursion/recursive_verifier.rs:1503) and it has no
+        # algebraic PoW runner (pow.rs:36-225).
+        assert proof_config.pow_hash == "poseidon2", \
+            "only the algebraic poseidon2 PoW is verifiable in-circuit"
+        from ..poseidon2_circuit import Poseidon2Circuit
+        pow_challenges = tr.get_multiple_challenges(4)
+        nonce_lo, nonce_hi = proof.pow_nonce
+        decompose_bits(cs, ops, nonce_lo, 32, enforce_canonical=False)
+        decompose_bits(cs, ops, nonce_hi, 32, enforce_canonical=False)
+        zero = ops.from_int(0)
+        st = list(pow_challenges) + [nonce_lo, nonce_hi] + [zero] * 6
+        digest = Poseidon2Circuit(cs, ops).permutation(st)[0]
+        dbits = decompose_bits(cs, ops, digest, 64, enforce_canonical=True)
+        for b in dbits[64 - new_pow_bits:]:
+            ops.enforce_zero(b)
+        tr.witness_field_elements([nonce_lo, nonce_hi])
 
     # -- queries -------------------------------------------------------------
     max_needed_bits = (n * fri_lde).bit_length() - 1

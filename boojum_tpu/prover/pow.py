@@ -53,3 +53,63 @@ def verify_keccak256_pow(challenges: list[int], bits: int, nonce: int) -> bool:
     seed = keccak256(seed)
     digest = keccak256(seed + int(nonce).to_bytes(8, "little"))
     return int.from_bytes(digest[:8], "little") < (1 << (64 - bits))
+
+
+# ----------------------------------------------------------------------------
+# Algebraic (Poseidon2) PoW — recursion-friendly grinding.
+#
+# The reference has NO algebraic PoW runner (pow.rs implements only NoPow /
+# Blake2s256 / Keccak256) and its in-circuit PoW verification is todo!()
+# (src/gadgets/recursion/recursive_verifier.rs:1503), so proofs ground with
+# the byte hashes cannot be recursively verified there either. This variant
+# closes that gap: grinding is ONE Poseidon2 permutation per candidate nonce
+# (vectorized over the TPU lane dimension on device, README.md:101 notes the
+# reference expects algebraic PoW ~2x slower on CPU), and the circuit twin in
+# gadgets/recursion/verifier.py verifies it with one in-circuit permutation.
+#
+# Definition: state = [c0, c1, c2, c3, nonce_lo, nonce_hi, 0...0] (width 12),
+# digest = permutation(state)[0] as canonical u64; accept iff
+# digest < 2^(64 - bits). c0..c3 are the four transcript challenges the
+# prover draws for grinding (prover.py stage 11), nonce split as two u32.
+# ----------------------------------------------------------------------------
+
+
+def _poseidon2_digest(challenges: list[int], nonce: int) -> int:
+    from ..hash.poseidon2 import s_permutation
+    state = [int(c) for c in challenges[:4]] + \
+        [int(nonce) & 0xFFFFFFFF, int(nonce) >> 32] + [0] * 6
+    return s_permutation(state)[0]
+
+
+def poseidon2_pow(challenges: list[int], bits: int,
+                  batch: int = 8192) -> int:
+    """Vectorized grind: batches of candidate nonces through the batched
+    device permutation (one (12, B) Poseidon2 per step)."""
+    import numpy as np
+
+    from ..field import goldilocks as gl
+    from ..hash.poseidon2 import permutation_gl
+
+    threshold = 1 << (64 - bits)
+    base = 0
+    ch = [int(c) for c in challenges[:4]]
+    while True:
+        nonces = np.arange(base, base + batch, dtype=np.uint64)
+        state = np.zeros((12, batch), dtype=np.uint64)
+        for i in range(4):
+            state[i, :] = ch[i]
+        state[4] = nonces & np.uint64(0xFFFFFFFF)
+        state[5] = nonces >> np.uint64(32)
+        out = permutation_gl(gl.from_u64(state.reshape(-1)).reshape(12, batch))
+        digests = gl.to_u64(out)[0]
+        hits = np.nonzero(digests < threshold)[0]
+        if hits.size:
+            return int(nonces[hits[0]])
+        base += batch
+
+
+def verify_poseidon2_pow(challenges: list[int], bits: int,
+                         nonce: int) -> bool:
+    if not (0 <= int(nonce) < (1 << 64)):
+        return False
+    return _poseidon2_digest(challenges, nonce) < (1 << (64 - bits))

@@ -18,7 +18,9 @@ class ProofConfig:
     fri_folding_schedule: list | None = None
     security_level: int = 100
     pow_bits: int = 0
-    # grinding hash: "blake2s" (reference pow.rs:51) or "keccak256" (:140)
+    # grinding hash: "blake2s" (reference pow.rs:51), "keccak256" (:140), or
+    # "poseidon2" — algebraic PoW verifiable in-circuit (pow.py; the
+    # reference has no such runner and its circuit PoW is todo!())
     pow_hash: str = "blake2s"
 
 

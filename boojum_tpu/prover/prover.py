@@ -715,9 +715,9 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     pow_challenge = 0
     if new_pow_bits > 0:
         challenges = transcript.get_multiple_challenges(4)
-        grind = (pow_mod.keccak256_pow
-                 if proof_config.pow_hash == "keccak256"
-                 else pow_mod.blake2s_pow)
+        grind = {"keccak256": pow_mod.keccak256_pow,
+                 "poseidon2": pow_mod.poseidon2_pow,
+                 }.get(proof_config.pow_hash, pow_mod.blake2s_pow)
         pow_challenge = grind(challenges, new_pow_bits)
         low = pow_challenge & 0xFFFFFFFF
         high = pow_challenge >> 32

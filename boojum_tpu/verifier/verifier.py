@@ -410,9 +410,10 @@ def _verify_inner(vk: VerificationKey, proof: Proof, transcript_kind: str,
     # -- PoW ----------------------------------------------------------------
     if new_pow_bits > 0:
         challenges = transcript.get_multiple_challenges(4)
-        check_pow = (pow_mod.verify_keccak256_pow
-                     if proof.proof_config.pow_hash == "keccak256"
-                     else pow_mod.verify_blake2s_pow)
+        check_pow = {"keccak256": pow_mod.verify_keccak256_pow,
+                     "poseidon2": pow_mod.verify_poseidon2_pow,
+                     }.get(proof.proof_config.pow_hash,
+                           pow_mod.verify_blake2s_pow)
         if not check_pow(challenges, new_pow_bits,
                          proof.pow_challenge):
             return _fail("pow grinding check failed")
