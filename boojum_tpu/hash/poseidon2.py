@@ -189,7 +189,7 @@ def _external_mds_stacked(st: GL) -> GL:
     return out.reshape(12, -1)
 
 
-def _internal_matrix_stacked(st: GL) -> GL:
+def _internal_matrix_stacked(st: GL, shifts=None) -> GL:
     import jax.numpy as jnp
 
     # log-tree sum along axis 0
@@ -198,22 +198,32 @@ def _internal_matrix_stacked(st: GL) -> GL:
                           gl.add(gl.add(st[6], st[7]),
                                  gl.add(gl.add(st[8], st[9]),
                                         gl.add(st[10], st[11])))))
-    import numpy as np
-    shifts = np.asarray([1 << s for s in _DIAG_SHIFTS], np.uint32)
-    scaled = gl.mul(st, GL(jnp.asarray(shifts)[:, None],
+    if shifts is None:
+        import numpy as np
+        shifts = jnp.asarray(
+            np.asarray([1 << s for s in _DIAG_SHIFTS], np.uint32))
+    scaled = gl.mul(st, GL(shifts[:, None],
                            jnp.zeros((12, 1), jnp.uint32)))
     return gl.add(scaled, GL(total.lo[None], total.hi[None]))
 
 
-def _permutation_stacked(st: GL) -> GL:
+def _permutation_stacked(st: GL, tables=None) -> GL:
     """Rolled, stacked-state permutation: minimal traced graph (~3 small
-    round bodies), sbox vectorized over the whole (12, B) state."""
+    round bodies), sbox vectorized over the whole (12, B) state.
+
+    tables: optional (rc_lo_T (12,30), rc_hi_T (12,30), diag_shifts (12,))
+    passed explicitly — required when tracing inside a Pallas kernel, where
+    captured constants must be kernel inputs."""
     import jax
     import jax.numpy as jnp
 
-    rc_lo, rc_hi = _rc_tables()
-    rc_lo = rc_lo.T  # (12, 30) for per-round column gather
-    rc_hi = rc_hi.T
+    if tables is None:
+        rc_lo, rc_hi = _rc_tables()
+        rc_lo = rc_lo.T  # (12, 30) for per-round column gather
+        rc_hi = rc_hi.T
+        shifts = None
+    else:
+        rc_lo, rc_hi, shifts = tables
 
     def full_round(r, st):
         st = gl.add(st, GL(jax.lax.dynamic_slice_in_dim(rc_lo, r, 1, 1),
@@ -226,7 +236,7 @@ def _permutation_stacked(st: GL) -> GL:
                jax.lax.dynamic_slice_in_dim(rc_hi[0], r, 1))
         row0 = _sbox7(gl.add(st[0], c))
         st = GL(st.lo.at[0].set(row0.lo), st.hi.at[0].set(row0.hi))
-        return _internal_matrix_stacked(st)
+        return _internal_matrix_stacked(st, shifts)
 
     st = _external_mds_stacked(st)
     st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)

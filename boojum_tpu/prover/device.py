@@ -37,20 +37,23 @@ def to_device_cols(cols_u64: np.ndarray) -> GL:
 
 
 @functools.lru_cache(maxsize=None)
-def _assemble_packed_jit(n, k, idx16, idx32, idx64):
+def _assemble_packed_jit(n, k, idx8, idx16, idx32, idx64):
     """Reassemble (n, k) GL limbs from width-classified column groups."""
     import jax
 
-    perm = np.concatenate([np.asarray(idx16, np.int64),
+    perm = np.concatenate([np.asarray(idx8, np.int64),
+                           np.asarray(idx16, np.int64),
                            np.asarray(idx32, np.int64),
                            np.asarray(idx64, np.int64)])
     inv = np.empty(k, np.int64)
     inv[perm] = np.arange(k)
 
-    def f(a16, a32, lo64, hi64):
-        lo = jnp.concatenate([a16.astype(jnp.uint32), a32, lo64], axis=1)
+    def f(a8, a16, a32, lo64, hi64):
+        lo = jnp.concatenate([a8.astype(jnp.uint32),
+                              a16.astype(jnp.uint32), a32, lo64], axis=1)
         hi = jnp.concatenate(
-            [jnp.zeros((n, len(idx16) + len(idx32)), jnp.uint32), hi64],
+            [jnp.zeros((n, len(idx8) + len(idx16) + len(idx32)),
+                       jnp.uint32), hi64],
             axis=1)
         return lo[:, inv], hi[:, inv]
 
@@ -59,28 +62,32 @@ def _assemble_packed_jit(n, k, idx16, idx32, idx64):
 
 def to_device_cols_packed(cols_u64: np.ndarray) -> GL:
     """Transfer-compressed variant of to_device_cols: columns whose values
-    fit 16/32 bits upload as uint16/uint32 (the witness of byte/char-chunk
-    heavy circuits is mostly tiny values; the tunnel's ~40 MB/s makes the
-    raw 8-byte upload a top-3 per-proof cost). Device-side reassembly is one
-    fused gather; classification is per column, so the jit re-specializes
-    only if a column's value range class changes between proofs."""
+    fit 8/16/32 bits upload as uint8/16/32 (the witness of byte/char-chunk
+    heavy circuits is mostly tiny values; the tunnel sustains ~8-10 MB/s, so
+    the raw 8-byte upload is a top per-proof cost). Device-side reassembly
+    is one fused gather; classification is per column, so the jit
+    re-specializes only if a column's value range class changes between
+    proofs."""
     k, n = cols_u64.shape
     if k == 0:
         return gl.from_u64(np.ascontiguousarray(cols_u64.T))
     maxes = cols_u64.max(axis=1)
-    cls16 = maxes < (1 << 16)
-    cls32 = ~cls16 & (maxes < (1 << 32))
-    cls64 = ~cls16 & ~cls32
+    cls8 = maxes < (1 << 8)
+    cls16 = ~cls8 & (maxes < (1 << 16))
+    cls32 = ~cls8 & ~cls16 & (maxes < (1 << 32))
+    cls64 = ~(cls8 | cls16 | cls32)
+    idx8 = tuple(int(i) for i in np.nonzero(cls8)[0])
     idx16 = tuple(int(i) for i in np.nonzero(cls16)[0])
     idx32 = tuple(int(i) for i in np.nonzero(cls32)[0])
     idx64 = tuple(int(i) for i in np.nonzero(cls64)[0])
+    a8 = np.ascontiguousarray(cols_u64[list(idx8)].T.astype(np.uint8))
     a16 = np.ascontiguousarray(cols_u64[list(idx16)].T.astype(np.uint16))
     a32 = np.ascontiguousarray(cols_u64[list(idx32)].T.astype(np.uint32))
     c64 = np.ascontiguousarray(cols_u64[list(idx64)].T)
     lo64 = (c64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi64 = (c64 >> np.uint64(32)).astype(np.uint32)
-    f = _assemble_packed_jit(n, k, idx16, idx32, idx64)
-    lo, hi = f(jnp.asarray(a16), jnp.asarray(a32),
+    f = _assemble_packed_jit(n, k, idx8, idx16, idx32, idx64)
+    lo, hi = f(jnp.asarray(a8), jnp.asarray(a16), jnp.asarray(a32),
                jnp.asarray(lo64), jnp.asarray(hi64))
     return GL(lo, hi)
 

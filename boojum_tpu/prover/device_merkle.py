@@ -24,7 +24,7 @@ import numpy as np
 from ..field import goldilocks as gl
 from ..field.goldilocks import GL, ORDER, MULTIPLICATIVE_GENERATOR
 from ..hash.merkle import AlgebraicMerkleTree
-from ..hash.poseidon2 import _permutation_stacked
+from ..hash.pallas_poseidon2 import permutation_stacked_fast
 from ..ntt import ntt
 from ..utils import npgl
 
@@ -50,7 +50,7 @@ def _leaf_hashes_traced(cols: GL) -> GL:
         bl, bh = xs
         st_lo = jnp.concatenate([bl, st_lo[RATE:]], axis=0)
         st_hi = jnp.concatenate([bh, st_hi[RATE:]], axis=0)
-        out = _permutation_stacked(GL(st_lo, st_hi))
+        out = permutation_stacked_fast(GL(st_lo, st_hi))
         return (out.lo, out.hi), 0
 
     init = (jnp.zeros((12, m), jnp.uint32), jnp.zeros((12, m), jnp.uint32))
@@ -64,7 +64,7 @@ def _node_layer_traced(cur: GL) -> GL:
     st = gl.zeros((12, m // 2))
     st_lo = st.lo.at[:CAP].set(cur.lo[:, 0::2]).at[CAP:RATE].set(cur.lo[:, 1::2])
     st_hi = st.hi.at[:CAP].set(cur.hi[:, 0::2]).at[CAP:RATE].set(cur.hi[:, 1::2])
-    out = _permutation_stacked(GL(st_lo, st_hi))
+    out = permutation_stacked_fast(GL(st_lo, st_hi))
     return GL(out.lo[:CAP], out.hi[:CAP])
 
 
@@ -98,7 +98,7 @@ def _full_fuse_size():
     a 16-deep chain of unrolled Poseidon2 layers is pathological (minutes),
     while on TPU it compiles fast and removes a tunnel roundtrip per layer."""
     import jax
-    return _TAIL_FUSE_SIZE if jax.default_backend() == "cpu" else (1 << 16)
+    return _TAIL_FUSE_SIZE if jax.default_backend() == "cpu" else (1 << 20)
 
 
 @functools.lru_cache(maxsize=None)
@@ -217,6 +217,59 @@ def _u32x2(x: int):
     return np.array([x & 0xFFFFFFFF, x >> 32], np.uint32)
 
 
+def _fold_traced(c0, c1, rl, rh, chs, cosets, k):
+    """k fold-by-2 steps (same math as _fold_jit, shared tracing helper)."""
+    for j in range(k):
+        m = c0.lo.shape[0] // 2
+        fx0, fmx0 = c0[0::2], c0[1::2]
+        fx1, fmx1 = c1[0::2], c1[1::2]
+        tw = gl.mul(GL(rl[:m], rh[:m]),
+                    GL(cosets[j, 0][None], cosets[j, 1][None]))
+        d0 = gl.mul(gl.sub(fx0, fmx0), tw)
+        d1 = gl.mul(gl.sub(fx1, fmx1), tw)
+        e0 = GL(chs[j, 0, 0][None], chs[j, 0, 1][None])
+        e1 = GL(chs[j, 1, 0][None], chs[j, 1, 1][None])
+        v0 = gl.mul(d0, e0)
+        v1 = gl.mul(d1, e1)
+        m0 = gl.add(v0, gl.mul(v1, gl.from_u64(np.uint64(7))))
+        t = gl.mul(gl.add(d0, d1), gl.add(e0, e1))
+        m1 = gl.sub(gl.sub(t, v0), v1)
+        c0 = gl.add(gl.add(fx0, fmx0), m0)
+        c1 = gl.add(gl.add(fx1, fmx1), m1)
+    return c0, c1
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_commit_jit(size: int, k_fold: int, k_leaf: int, cap_size: int):
+    """ONE program per FRI round: fold the previous layer by 2^k_fold, form
+    the next oracle's leaf columns, hash leaves, and build every node layer.
+    Output: folded (c0, c1) + all tree layers. Protocol sequencing forces a
+    host sync per round (the cap feeds the transcript before the next
+    challenges), so fusing everything between syncs minimizes roundtrips."""
+
+    def f(c0l, c0h, c1l, c1h, rl, rh, chs, cosets):
+        c0, c1 = _fold_traced(GL(c0l, c0h), GL(c1l, c1h), rl, rh,
+                              chs, cosets, k_fold)
+        folded = size >> k_fold
+        e = 1 << k_leaf
+        tree_size = folded // e
+        cols = GL(
+            jnp.concatenate([c0.lo.reshape(tree_size, e).T,
+                             c1.lo.reshape(tree_size, e).T], axis=0),
+            jnp.concatenate([c0.hi.reshape(tree_size, e).T,
+                             c1.hi.reshape(tree_size, e).T], axis=0))
+        cols = _pad_cols_to_rate(cols)
+        leaves = _leaf_hashes_traced(cols)
+        outs = [c0.lo, c0.hi, c1.lo, c1.hi, leaves.lo, leaves.hi]
+        cur = leaves
+        while cur.lo.shape[1] > cap_size:
+            cur = _node_layer_traced(cur)
+            outs.extend((cur.lo, cur.hi))
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=None)
 def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
     """Reshape flat FRI layer (c0, c1) into leaf columns (2e, tree_size):
@@ -235,9 +288,10 @@ def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
 
 
 def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
-                  cap_size: int, hasher: str, mesh=None):
-    """Device-resident do_fri: one tree dispatch + one fold dispatch per
-    schedule entry; bit-identical to fri.do_fri on the same input."""
+                  cap_size: int, hasher: str, mesh=None, fuse=None):
+    """Device-resident do_fri: with fuse, ONE program per schedule entry
+    (fold + leaf hash + whole tree — the cap absorb forces a host sync per
+    round anyway); bit-identical to fri.do_fri on the same input."""
     from .fri import FriResult, _inverse_roots_bitreversed
 
     assert hasher == "poseidon2", "device FRI requires the poseidon2 hasher"
@@ -262,14 +316,10 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
             tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
         return DeviceFlatOracle(cur0, cur1, 1 << k, tree)
 
-    cur0, cur1 = c0, c1
-    for stage, k in enumerate(schedule):
-        oracle = commit(cur0, cur1, schedule[0] if stage == 0 else k)
-        transcript.witness_merkle_tree_cap(oracle.get_cap())
-        if stage == 0:
-            result.base_oracle = oracle
-        else:
-            result.intermediate_oracles.append(oracle)
+    def challenge_tables(k):
+        """(k, 2, 2) challenge-squaring chain + (k, 2) coset-inv chain for
+        the next fold; advances the cross-stage coset_inv chain."""
+        nonlocal coset_inv
         ch0 = transcript.get_challenge()
         ch1 = transcript.get_challenge()
         chs = np.zeros((k, 2, 2), np.uint32)
@@ -285,12 +335,42 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
             a, b = c
             c = ((a * a + 7 * b * b) % ORDER, 2 * a * b % ORDER)
         coset_inv = ci
-        size = cur0.lo.shape[0]
-        o0l, o0h, o1l, o1h = _fold_jit(size, k)(
-            cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh,
-            jnp.asarray(chs), jnp.asarray(cosets))
-        cur0, cur1 = GL(o0l, o0h), GL(o1l, o1h)
+        return jnp.asarray(chs), jnp.asarray(cosets)
+
+    cur0, cur1 = c0, c1
+    if fuse is None:
+        fuse = jax.default_backend() != "cpu"
+    fuse = fuse and mesh is None
+    chs = cosets = None
+    for stage, k in enumerate(schedule):
+        if stage == 0 or not fuse:
+            if stage > 0:
+                size = cur0.lo.shape[0]
+                o = _fold_jit(size, schedule[stage - 1])(
+                    cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh, chs, cosets)
+                cur0, cur1 = GL(o[0], o[1]), GL(o[2], o[3])
+            oracle = commit(cur0, cur1, k)
+        else:
+            # one program: fold previous layer + hash + build this tree
+            size = cur0.lo.shape[0]
+            out = _fold_commit_jit(size, schedule[stage - 1], k, cap_size)(
+                cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh, chs, cosets)
+            cur0, cur1 = GL(out[0], out[1]), GL(out[2], out[3])
+            tree = DeviceTree(list(zip(out[4::2], out[5::2])))
+            oracle = DeviceFlatOracle(cur0, cur1, 1 << k, tree)
+        transcript.witness_merkle_tree_cap(oracle.get_cap())
+        if stage == 0:
+            result.base_oracle = oracle
+        else:
+            result.intermediate_oracles.append(oracle)
+        chs, cosets = challenge_tables(k)
         result.intermediate_sources.append(None)
+
+    # last stage's fold (the loop folds stage i inside stage i+1's program)
+    size = cur0.lo.shape[0]
+    o = _fold_jit(size, schedule[-1])(
+        cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh, chs, cosets)
+    cur0, cur1 = GL(o[0], o[1]), GL(o[2], o[3])
 
     # final interpolation on host (tiny)
     host = jax.device_get((cur0.lo, cur0.hi, cur1.lo, cur1.hi))

@@ -208,10 +208,14 @@ class DeviceProver:
         import jax.numpy as jnp
 
         _t = [_time.time()]
+        #: per-stage wall-clock split of the most recent verbose prove
+        #: (synced attribution — see _sync), for bench/profiling consumers
+        self.last_stage_times = {}
 
         def _stage(label):
             if verbose:
                 now = _time.time()
+                self.last_stage_times[label.strip()] = round(now - _t[0], 3)
                 print("[dev-prove] %-24s %.2fs" % (label, now - _t[0]),
                       file=_sys.stderr, flush=True)
                 _t[0] = now
@@ -761,10 +765,24 @@ class DeviceProver:
         # -- evaluations at z -------------------------------------------------
         z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
         z_pows = npgl.ext_powers(z_pt, n)
-        ev_w = witness_oracle.eval_monomials_at(z_pows)
-        ev_s = setup_oracle.eval_monomials_at(z_pows)
-        ev_2 = stage2_oracle.eval_monomials_at(z_pows)
-        ev_q = quotient_oracle.eval_monomials_at(z_pows)
+        zw = ext2.s2_mul(z_pt, (omega, 0))
+        zw_pows = npgl.ext_powers(zw, n)
+        if self.mesh is None:
+            from .oracles import eval_monomial_sets_at
+            s2m = stage2_oracle.monomials
+            ev_w, ev_s, ev_2, ev_q, ev_zw = eval_monomial_sets_at([
+                (witness_oracle.monomials, z_pows),
+                (setup_oracle.monomials, z_pows),
+                (s2m, z_pows),
+                (quotient_oracle.monomials, z_pows),
+                (GL(s2m.lo[:, :2], s2m.hi[:, :2]), zw_pows),
+            ])
+        else:
+            ev_w = witness_oracle.eval_monomials_at(z_pows)
+            ev_s = setup_oracle.eval_monomials_at(z_pows)
+            ev_2 = stage2_oracle.eval_monomials_at(z_pows)
+            ev_q = quotient_oracle.eval_monomials_at(z_pows)
+            ev_zw = stage2_oracle.eval_monomials_at(zw_pows)[:2]
 
         def pair(evals, i):
             f0, f1 = evals[2 * i], evals[2 * i + 1]
@@ -791,9 +809,6 @@ class DeviceProver:
         for v in values_at_z:
             transcript.witness_field_elements([v[0], v[1]])
 
-        zw = ext2.s2_mul(z_pt, (omega, 0))
-        zw_pows = npgl.ext_powers(zw, n)
-        ev_zw = stage2_oracle.eval_monomials_at(zw_pows)
         values_at_z_omega = [pair(ev_zw, 0)]
         transcript.witness_field_elements([values_at_z_omega[0][0],
                                            values_at_z_omega[0][1]])
@@ -897,7 +912,7 @@ class DeviceProver:
             from .device_merkle import do_fri_device
             fri_result = do_fri_device(h.a, transcript, schedule,
                                        fri_lde, cap_size, hasher,
-                                       mesh=self.mesh)
+                                       mesh=self.mesh, fuse=self.fuse)
         else:
             h_host = h.to_host()
             fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,

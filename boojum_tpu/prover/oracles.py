@@ -216,3 +216,57 @@ def _eval_jit(n):
         return s.lo, s.hi
 
     return _jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=None)
+def _eval_many_jit(n, widths):
+    """One program: Σ cᵢ·zⁱ for SEVERAL monomial sets, each at its own
+    point — the whole evals-at-z stage in a single dispatch (the per-block
+    loop was ~12 sequential dispatch+download roundtrips over the tunnel)."""
+
+    def f(*args):
+        outs = []
+        i = 0
+        for _ in widths:
+            mono = gl.GL(args[i], args[i + 1])
+            zp0 = gl.GL(args[i + 2], args[i + 3])
+            zp1 = gl.GL(args[i + 4], args[i + 5])
+            i += 6
+            for zp in (zp0, zp1):
+                prod = gl.mul(mono, gl.GL(zp.lo[:, None], zp.hi[:, None]))
+                s = device._sum_gl(prod, axis=0)
+                outs.extend((s.lo, s.hi))
+        return tuple(outs)
+
+    return _jax.jit(f)
+
+
+def eval_monomial_sets_at(sets) -> list:
+    """sets: list of (monomials GL (n, k), z_pows_host). Returns, per set,
+    the list of k (c0, c1) host-int pairs — all sets evaluated in ONE
+    device dispatch."""
+    import jax.numpy as jnp
+
+    n = sets[0][0].shape[0]
+    widths = tuple(m.shape[1] for (m, _) in sets)
+    dev_points = {}  # upload each distinct point's power table once
+    args = []
+    for (m, zp_host) in sets:
+        key = id(zp_host)
+        if key not in dev_points:
+            dev_points[key] = (gl.from_u64(zp_host[0]),
+                               gl.from_u64(zp_host[1]))
+        zp0, zp1 = dev_points[key]
+        args.extend((m.lo, m.hi, zp0.lo, zp0.hi, zp1.lo, zp1.hi))
+    out = _eval_many_jit(n, widths)(*args)
+    results = []
+    i = 0
+    for k in widths:
+        s0l, s0h, s1l, s1h = out[i], out[i + 1], out[i + 2], out[i + 3]
+        i += 4
+        r0 = np.asarray(s0l, np.uint64) | (np.asarray(s0h, np.uint64)
+                                           << np.uint64(32))
+        r1 = np.asarray(s1l, np.uint64) | (np.asarray(s1h, np.uint64)
+                                           << np.uint64(32))
+        results.append([(int(r0[j]), int(r1[j])) for j in range(k)])
+    return results

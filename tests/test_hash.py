@@ -8,6 +8,7 @@ Mirrors reference tests in src/implementations/poseidon2/state_generic_impl.rs
 import hashlib
 
 import numpy as np
+import pytest
 
 from boojum_tpu.field import goldilocks as gl
 from boojum_tpu.hash import merkle, poseidon, poseidon2, sponge
@@ -162,3 +163,26 @@ def test_blake2s_transcript():
     # challenges continue from the digest buffer
     c2 = t.get_challenge()
     assert c2 == int.from_bytes(manual[8:16], "little") % P
+
+
+@pytest.mark.slow
+def test_pallas_poseidon2_matches_jnp_interpret():
+    """The Pallas Poseidon2 kernel (TPU tree-hash path) is bit-identical to
+    the jnp reference — interpreter mode so CPU CI covers it. Slow: the
+    unrolled 30-round kernel body compiles for minutes on XLA:CPU (also
+    validated on the real chip by every device-prover byte-equality run)."""
+    import jax
+    import numpy as np
+
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.hash.pallas_poseidon2 import TILE, permutation_stacked_pallas
+    from boojum_tpu.hash.poseidon2 import _permutation_stacked
+
+    rng = np.random.default_rng(11)
+    b = TILE  # one grid step
+    st = gl.from_u64(rng.integers(0, gl.ORDER, (12, b),
+                                  dtype=np.uint64).reshape(-1)).reshape(12, b)
+    ref = jax.jit(_permutation_stacked)(st)
+    out = permutation_stacked_pallas(st, interpret=True)
+    assert np.array_equal(np.asarray(ref.lo), np.asarray(out.lo))
+    assert np.array_equal(np.asarray(ref.hi), np.asarray(out.hi))
