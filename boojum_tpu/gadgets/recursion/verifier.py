@@ -10,8 +10,12 @@ CircuitExt2Ops through the ops protocol — the design payoff of SURVEY §1).
 Differences from the reference (documented):
 - validity is ENFORCED (an invalid inner proof makes the outer circuit
   unsatisfiable) instead of returning a Boolean;
-- the VK (fixed params + setup cap) is circuit constants — the outer circuit
-  is specialized per inner VK, the standard aggregation setup.
+- the VK's setup cap is circuit CONSTANTS by default (outer circuit
+  specialized per inner VK) or WITNESS variables when an
+  AllocatedVerificationKey is passed (reference allocated_vk.rs:14) — then
+  one outer circuit serves every inner VK with the same fixed parameters,
+  the standard aggregation setup; the fixed parameters themselves shape the
+  circuit and stay static either way, as in the reference.
 """
 
 from __future__ import annotations
@@ -92,10 +96,29 @@ class AllocatedProof:
         )
 
 
+@dataclass
+class AllocatedVerificationKey:
+    """Setup-tree cap as WITNESS variables (reference allocated_vk.rs:14):
+    the outer circuit's structure depends only on the inner VK's fixed
+    parameters, so one outer circuit serves every inner VK with the same
+    shape — the aggregation setup. The caller binds the cap (e.g. as public
+    inputs or by hashing it into its own commitment)."""
+
+    setup_merkle_tree_cap: list  # per cap element: tuple of 4 variables
+
+    @classmethod
+    def allocate(cls, cs: ConstraintSystem,
+                 vk: VerificationKey) -> "AllocatedVerificationKey":
+        cap = [tuple(cs.alloc_variable_with_value(int(x) % P) for x in el)
+               for el in vk.setup_merkle_tree_cap]
+        return cls(setup_merkle_tree_cap=cap)
+
+
 def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
                      proof: AllocatedProof, proof_config,
                      transcript_kind: str = "poseidon",
-                     hasher: str = "poseidon2"):
+                     hasher: str = "poseidon2",
+                     allocated_vk: AllocatedVerificationKey = None):
     fixed = vk.fixed_parameters
     n = fixed.domain_size
     log_n = n.bit_length() - 1
@@ -121,10 +144,14 @@ def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
     num_intermediates = max(-(-num_var // qd) - 1, 0)
 
     # -- transcript mirror ---------------------------------------------------
+    if allocated_vk is not None:
+        assert len(allocated_vk.setup_merkle_tree_cap) == cap_size
+        vk_cap_circuit = allocated_vk.setup_merkle_tree_cap
+    else:
+        vk_cap_circuit = [tuple(ops.from_int(int(x)) for x in el)
+                          for el in vk.setup_merkle_tree_cap]
     tr = CircuitTranscript(cs, ops, transcript_kind)
-    tr.witness_merkle_tree_cap(
-        [tuple(ops.from_int(int(x)) for x in el)
-         for el in vk.setup_merkle_tree_cap])
+    tr.witness_merkle_tree_cap(vk_cap_circuit)
     tr.witness_field_elements(proof.public_inputs)
     tr.witness_merkle_tree_cap(proof.witness_cap)
     beta = tuple(tr.get_multiple_challenges(2))
@@ -378,9 +405,7 @@ def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
             (q["witness"], q["witness_path"], proof.witness_cap),
             (q["stage2"], q["stage2_path"], proof.stage_2_cap),
             (q["quotient"], q["quotient_path"], proof.quotient_cap),
-            (q["setup"], q["setup_path"],
-             [tuple(ops.from_int(int(x)) for x in el)
-              for el in vk.setup_merkle_tree_cap]),
+            (q["setup"], q["setup_path"], vk_cap_circuit),
         ]:
             lh = merkle.hash_leaf(leaf)
             merkle.verify_path(lh, path, cap, qbits, cap_is_constant=False)

@@ -23,6 +23,7 @@ from boojum_tpu.verifier import verify
 from tests.test_prove_verify import build_small_circuit
 
 RNG = np.random.default_rng(21)
+P = (1 << 64) - (1 << 32) + 1
 
 
 def make_outer_cs(max_trace=1 << 15):
@@ -231,3 +232,76 @@ def test_recursive_verifier_with_pow_and_specialized_gate():
     recursive_verify(outer2, art.vk, alloc2, cfg, "poseidon", "poseidon2")
     outer2.pad_and_shrink()
     assert not outer2.check_if_satisfied(verbose=False)
+
+
+@pytest.mark.slow
+def test_allocated_vk_one_circuit_many_vks():
+    """AllocatedVerificationKey (reference allocated_vk.rs): the inner VK's
+    setup cap is allocated as witness, so ONE outer circuit serves every
+    inner VK with the same fixed parameters. Asserted structurally: two
+    outer circuits built over different inner circuits (different VKs, same
+    shape) have IDENTICAL setup polynomials — i.e. the same circuit."""
+    from boojum_tpu.gadgets.recursion.verifier import AllocatedVerificationKey
+
+    def make_inner(seed):
+        rng = np.random.default_rng(seed)
+        P_ = (1 << 64) - (1 << 32) + 1
+        geom = CSGeometry(num_columns_under_copy_permutation=16,
+                          num_witness_columns=0, num_constant_columns=4,
+                          max_allowed_constraint_degree=4)
+        inner = ConstraintSystem(geom, 1 << 9, CSConfig.dev())
+        for g in (ConstantsAllocatorGate, FmaGate, NopGate):
+            inner.allow_gate(g)
+        a = inner.alloc_variables_with_values(
+            rng.integers(0, P_, 8, dtype=np.uint64))
+        # different constant per seed -> different setup -> different VK
+        FmaGate.compute_fma_batch(inner, 3 + seed, (a, a), 5, a)
+        inner.pad_and_shrink()
+        sb = create_base_setup(inner)
+        cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4,
+                          security_level=20, pow_bits=0)
+        art = create_setup_and_vk(inner, sb, cfg, "poseidon2")
+        proof = prove(inner, art, cfg, "poseidon", "poseidon2")
+        assert verify(art.vk, proof, "poseidon", "poseidon2")
+        return art.vk, proof, cfg
+
+    def make_outer(vk, proof, cfg):
+        outer = make_outer_cs(1 << 16)
+        avk = AllocatedVerificationKey.allocate(outer, vk)
+        alloc = AllocatedProof.allocate(outer, proof)
+        recursive_verify(outer, vk, alloc, cfg, "poseidon", "poseidon2",
+                         allocated_vk=avk)
+        outer.pad_and_shrink()
+        return outer
+
+    vk1, proof1, cfg = make_inner(0)
+    vk2, proof2, _ = make_inner(1)
+    assert vk1.setup_merkle_tree_cap != vk2.setup_merkle_tree_cap
+
+    outer1 = make_outer(vk1, proof1, cfg)
+    assert outer1.check_if_satisfied()
+    outer2 = make_outer(vk2, proof2, cfg)
+    assert outer2.check_if_satisfied()
+
+    # the two outer circuits are THE SAME circuit: identical setup polys
+    sb1 = create_base_setup(outer1)
+    sb2 = create_base_setup(outer2)
+    assert sb1.constant_columns.shape == sb2.constant_columns.shape
+    assert np.array_equal(sb1.constant_columns, sb2.constant_columns)
+    assert np.array_equal(sb1.copy_permutation_polys,
+                          sb2.copy_permutation_polys)
+
+    # corrupting the allocated cap must break verification
+    outer3 = make_outer_cs(1 << 16)
+    import dataclasses
+    bad_vk = dataclasses.replace(
+        vk1, setup_merkle_tree_cap=[
+            tuple((int(x) + (1 if i == 0 and j == 0 else 0)) % P
+                  for j, x in enumerate(el))
+            for i, el in enumerate(vk1.setup_merkle_tree_cap)])
+    avk3 = AllocatedVerificationKey.allocate(outer3, bad_vk)
+    alloc3 = AllocatedProof.allocate(outer3, proof1)
+    recursive_verify(outer3, vk1, alloc3, cfg, "poseidon", "poseidon2",
+                     allocated_vk=avk3)
+    outer3.pad_and_shrink()
+    assert not outer3.check_if_satisfied(verbose=False)
