@@ -37,10 +37,20 @@ class CSConfig:
     evaluate_witness: bool = True
     keep_setup: bool = True
     runtime_asserts: bool = True
+    #: cr_paranoia analogue (reference feature "cr_paranoia_mode",
+    #: src/dag/resolvers/mt/mod.rs:172): deep witness-resolver invariant
+    #: checks — every resolution input must already be resolved (instead of
+    #: silently reading 0), and pad_and_shrink verifies every variable placed
+    #: in the trace was resolved. Costs a mask gather per resolution node.
+    paranoia: bool = False
 
     @staticmethod
     def dev():
         return CSConfig(True, True, True)
+
+    @staticmethod
+    def paranoid():
+        return CSConfig(True, True, True, True)
 
     @staticmethod
     def setup():
@@ -233,7 +243,8 @@ class ConstraintSystem:
         self.row_cleanups = []
         self.columns_cleanups = []
 
-        self.resolver = WitnessResolver(max_variables) \
+        self.resolver = WitnessResolver(max_variables,
+                                        paranoia=self.config.paranoia) \
             if self.config.evaluate_witness else None
 
     # -- registration --------------------------------------------------------
@@ -617,6 +628,22 @@ class ConstraintSystem:
         if "nop" in self.general_idx_by_name and nops > 0:
             self.place_nop_rows(nops)
         self.final_trace_len = final_len
+        if self.config.paranoia and self.resolver is not None \
+                and self.copy_permutation_data is not None:
+            # every variable placed in the trace must have been resolved
+            for block in (self.copy_permutation_data,
+                          self.witness_placement_data,
+                          self.specialized_copy_data, self.gate_spec_data):
+                if block is None:
+                    continue
+                placed = block[~places.is_placeholder(block)]
+                idx = places.index_of(placed)
+                ok = self.resolver.resolved[
+                    np.minimum(idx, self.resolver.resolved.shape[0] - 1)] \
+                    & (idx < self.resolver.resolved.shape[0])
+                assert ok.all(), \
+                    f"paranoia: {int((~ok).sum())} placed-but-unresolved " \
+                    f"variables, e.g. {placed[~ok][:8]}"
         return final_len
 
     def replay_witness(self, overrides: dict):

@@ -16,7 +16,9 @@ from .poseidon_gate import PoseidonFlattenedGate  # noqa: F401
 from .simple import (  # noqa: F401
     BooleanConstraintGate,
     ConditionalSwapGate,
+    ConstantsAllocationAsConstraintGate,
     ConstantsAllocatorGate,
+    ConstantsAsConstraintEvaluator,
     DotProductGate,
     FmaGate,
     NopGate,

@@ -177,6 +177,73 @@ class ConstantsAllocatorGate:
             np.uint64)
 
 
+class ConstantsAsConstraintEvaluator(GateEvaluator):
+    """ConstantsAllocationAsConstraintGate (reference
+    constants_allocator_as_explicit_constraint.rs:14): the set
+    [0, 1, -1, *extras] lives in copy columns of ONE row, each pinned by its
+    own degree-1 term var_i − c_i with the constants BAKED INTO the evaluator
+    — the gate consumes NO constant columns, which is its entire point. The
+    reference leaves evaluate_* as todo!(); the documented intent (unique
+    identifier per constants set, max_constraint_degree 1, one instance per
+    row / can_apply_many_on_row = false) is implemented here."""
+
+    max_constraint_degree = 1
+
+    def __init__(self, extras=()):
+        self.extras = tuple(int(c) % npgl.ORDER for c in extras)
+        self.constants_set = (0, 1, npgl.ORDER - 1) + self.extras
+        # unique per set (reference unique_identifier, :24-40)
+        self.name = "constants_as_constraint_" + \
+            "_".join(str(c) for c in self.extras)
+        self.num_variables = len(self.constants_set)
+        self.num_quotient_terms = len(self.constants_set)
+
+    def num_repetitions(self, geometry):
+        return 1
+
+    def num_required_constants(self, geometry):
+        return 0
+
+    def evaluate(self, src, ops):
+        return [ops.sub(src.var(i), ops.from_int(c))
+                for i, c in enumerate(self.constants_set)]
+
+    def spec_params(self):
+        return self.extras
+
+
+class ConstantsAllocationAsConstraintGate:
+    """Allocate a SET of constants on one row without consuming constant
+    columns (reference constants_allocator_as_explicit_constraint.rs:14:
+    "ALWAYS adds 0, 1 and -1 as constants, and can add an arbitrary set").
+    Feeds the same constant→variable dedup tool as ConstantsAllocatorGate, so
+    later allocate_constant calls reuse these variables."""
+
+    @staticmethod
+    def make_evaluator(extras=()):
+        return ConstantsAsConstraintEvaluator(tuple(extras))
+
+    @staticmethod
+    def add(cs, extras=()) -> np.ndarray:
+        ev = ConstantsAsConstraintEvaluator(tuple(extras))
+        assert cs.geometry.num_columns_under_copy_permutation >= \
+            ev.num_variables, "constants set wider than the copy section"
+        cs.allow_evaluator(ev)
+        # one gate per distinct set (reference UniquenessTool, :90)
+        seen = cs.static_tools.setdefault("constants_as_constraint_sets", set())
+        assert ev.name not in seen, \
+            f"constants set {ev.extras} already allocated"
+        seen.add(ev.name)
+        vals = np.asarray(ev.constants_set, np.uint64)
+        vs = cs.alloc_variables_with_values(vals)
+        cs.place_general_gate_batch(ev.name, None, [],
+                                    np.asarray(vs, np.uint64).reshape(1, -1))
+        c2v = cs.static_tools.setdefault("constant_to_variable", {})
+        for c, v in zip(ev.constants_set, vs):
+            c2v.setdefault(int(c), int(v))
+        return vs
+
+
 # ---------------------------------------------------------------------------
 # FMA: c0 * A * B + c1 * C -> D
 # ---------------------------------------------------------------------------

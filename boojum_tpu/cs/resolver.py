@@ -22,8 +22,13 @@ _GROW = 1 << 16
 
 
 class WitnessResolver:
-    def __init__(self, max_variables: int = 1 << 26):
+    def __init__(self, max_variables: int = 1 << 26, paranoia: bool = False):
         self.max_variables = max_variables
+        #: cr_paranoia analogue (reference src/dag/resolvers/mt/mod.rs:172):
+        #: assert every resolution input is already resolved instead of
+        #: silently reading 0 — the TPU-design equivalent of the reference's
+        #: resolver-order tracking (our invariant is immediate execution).
+        self.paranoia = paranoia
         self.values = np.zeros(_GROW, np.uint64)
         self.resolved = np.zeros(_GROW, bool)
         self.record: list[tuple[Callable | None, np.ndarray | None, np.ndarray]] = []
@@ -71,6 +76,15 @@ class WitnessResolver:
         ins = np.asarray(ins, np.uint64)
         outs = np.asarray(outs, np.uint64)
         in_idx = places.index_of(ins)
+        if self.paranoia and in_idx.size:
+            flat = in_idx.reshape(-1)
+            in_range = flat < self.resolved.shape[0]
+            ok = np.zeros(flat.shape, bool)
+            ok[in_range] = self.resolved[flat[in_range]]
+            if not ok.all():
+                bad = ins.reshape(-1)[~ok][:8]
+                raise AssertionError(
+                    f"paranoia: resolution reads unresolved places {bad}")
         _t0 = _time.perf_counter()
         out_vals = np.asarray(fn(self.values[in_idx]), np.uint64)
         self.stats["resolution_fn_calls"] += 1
@@ -106,7 +120,7 @@ class WitnessResolver:
         without re-synthesis (reference prove_from_witness_vec /
         ResolutionRecord playback, convenience.rs:151,
         sorters/sorter_playback.rs:28)."""
-        out = WitnessResolver(self.max_variables)
+        out = WitnessResolver(self.max_variables, paranoia=self.paranoia)
         out.track_record = False
         if overrides:
             okeys = np.fromiter(overrides.keys(), np.uint64,

@@ -99,6 +99,9 @@ def build_evaluators(specs):
             ev = MatrixMulEvaluator(params)
             ev.name = name
             out.append(ev)
+        elif name.startswith("constants_as_constraint"):
+            from ..cs.gates.simple import ConstantsAsConstraintEvaluator
+            out.append(ConstantsAsConstraintEvaluator(tuple(params or ())))
         elif name in reg:
             out.append(reg[name](params))
         else:

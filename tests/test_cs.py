@@ -177,6 +177,37 @@ def test_resolver_playback():
     assert np.array_equal(replayed.get_values(d), cs.get_values(d))
 
 
+def test_paranoia_mode():
+    """CSConfig.paranoid() (reference cr_paranoia_mode,
+    src/dag/resolvers/mt/mod.rs:172): resolutions reading an unresolved
+    input raise immediately with the offending places; a clean circuit
+    passes all checks including the pad-time placement-coverage sweep."""
+    # clean circuit: paranoia is silent
+    cs = ConstraintSystem(GEOM, 128, CSConfig.paranoid())
+    cs.allow_gate(ConstantsAllocatorGate)
+    cs.allow_gate(FmaGate)
+    cs.allow_gate(NopGate)
+    a = cs.alloc_variables_with_values(RNG.integers(0, P, 4, dtype=np.uint64))
+    d = FmaGate.compute_fma_batch(cs, 3, (a, a), 5, a)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+    # reading an unresolved input raises with the offending place
+    cs2 = ConstraintSystem(GEOM, 128, CSConfig.paranoid())
+    cs2.allow_gate(FmaGate)
+    cs2.allow_gate(NopGate)
+    dangling = cs2.alloc_variables(4)  # never given values
+    with pytest.raises(AssertionError, match="unresolved"):
+        FmaGate.compute_fma_batch(cs2, 3, (dangling, dangling), 5, dangling)
+
+    # the default config accepts the same program (reads zeros)
+    cs3 = ConstraintSystem(GEOM, 128, CSConfig.dev())
+    cs3.allow_gate(FmaGate)
+    cs3.allow_gate(NopGate)
+    dangling = cs3.alloc_variables(4)
+    FmaGate.compute_fma_batch(cs3, 3, (dangling, dangling), 5, dangling)
+
+
 def test_u32_gates_prove_verify():
     from boojum_tpu.cs.gates import U32AddGate, U32SubGate
     from boojum_tpu.cs.setup import create_base_setup

@@ -122,6 +122,42 @@ def test_prove_verify_with_algebraic_pow():
     assert not verify(artifacts.vk, bad, "poseidon2", "poseidon2")
 
 
+def test_constants_as_constraint_gate():
+    """ConstantsAllocationAsConstraintGate (reference
+    constants_allocator_as_explicit_constraint.rs): constants pinned by
+    explicit degree-1 terms, no constant columns; dedup tool shared with
+    ConstantsAllocatorGate; serde round-trips the parametrized evaluator."""
+    from boojum_tpu.cs.gates import ConstantsAllocationAsConstraintGate
+    from boojum_tpu.prover.serialization import vk_from_json, vk_to_json
+
+    def build():
+        cs2 = ConstraintSystem(GEOM, 1 << 10, CSConfig.dev())
+        cs2.allow_gate(ConstantsAllocatorGate)
+        cs2.allow_gate(FmaGate)
+        cs2.allow_gate(NopGate)
+        vs = ConstantsAllocationAsConstraintGate.add(cs2, (7, 1 << 16))
+        assert [cs2.get_value(int(v)) for v in vs] == \
+            [0, 1, P - 1, 7, 1 << 16]
+        # dedup tool shared: allocate_constant(7) reuses the gate's variable
+        assert ConstantsAllocatorGate.allocate_constant(cs2, 7) == int(vs[3])
+        a = cs2.alloc_variables_with_values([3, 4])
+        FmaGate.compute_fma_batch(cs2, 2, (a, a), 1, vs[3:4].repeat(2))
+        cs2.pad_and_shrink()
+        return cs2
+
+    cs2 = build()
+    proof, artifacts, ok = run_roundtrip(cs2, fri_lde=4)
+    assert ok
+    # parametrized evaluator survives VK serde
+    vk2 = vk_from_json(vk_to_json(artifacts.vk))
+    assert verify(vk2, proof, "poseidon2", "poseidon2")
+
+    # a corrupted pinned constant makes the circuit unsatisfiable
+    cs3 = build()
+    cs3.resolver.set_value(cs3.static_tools["constant_to_variable"][7], 8)
+    assert not cs3.check_if_satisfied(verbose=False)
+
+
 def test_poseidon2_pow_unit():
     from boojum_tpu.prover import pow as pow_mod
     ch = [123, 456, 789, 1011]
