@@ -288,11 +288,24 @@ def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
 
 
 def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
-                  cap_size: int, hasher: str, mesh=None, fuse=None):
+                  cap_size: int, hasher: str, mesh=None, fuse=None,
+                  verbose: bool = False):
     """Device-resident do_fri: with fuse, ONE program per schedule entry
     (fold + leaf hash + whole tree — the cap absorb forces a host sync per
     round anyway); bit-identical to fri.do_fri on the same input."""
+    import sys as _sys
+    import time as _time
+
     from .fri import FriResult, _inverse_roots_bitreversed
+
+    _t = [_time.time()]
+
+    def _v(label):
+        if verbose:
+            now = _time.time()
+            print("[fri] %-28s %.3fs" % (label, now - _t[0]),
+                  file=_sys.stderr, flush=True)
+            _t[0] = now
 
     assert hasher == "poseidon2", "device FRI requires the poseidon2 hasher"
     c0 = GL(h_a[0], h_a[1])
@@ -304,6 +317,7 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     rl = jnp.asarray((roots & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     rh = jnp.asarray((roots >> np.uint64(32)).astype(np.uint32))
     coset_inv = pow(int(MULTIPLICATIVE_GENERATOR), ORDER - 2, ORDER)
+    _v("roots+upload")
 
     def commit(cur0, cur1, k):
         size = cur0.lo.shape[0]
@@ -358,12 +372,15 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
             cur0, cur1 = GL(out[0], out[1]), GL(out[2], out[3])
             tree = DeviceTree(list(zip(out[4::2], out[5::2])))
             oracle = DeviceFlatOracle(cur0, cur1, 1 << k, tree)
+        _v(f"stage {stage} dispatch")
         transcript.witness_merkle_tree_cap(oracle.get_cap())
+        _v(f"stage {stage} cap+absorb")
         if stage == 0:
             result.base_oracle = oracle
         else:
             result.intermediate_oracles.append(oracle)
         chs, cosets = challenge_tables(k)
+        _v(f"stage {stage} challenges")
         result.intermediate_sources.append(None)
 
     # last stage's fold (the loop folds stage i inside stage i+1's program)
@@ -371,9 +388,11 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     o = _fold_jit(size, schedule[-1])(
         cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh, chs, cosets)
     cur0, cur1 = GL(o[0], o[1]), GL(o[2], o[3])
+    _v("final fold")
 
     # final interpolation on host (tiny)
     host = jax.device_get((cur0.lo, cur0.hi, cur1.lo, cur1.hi))
+    _v("final download")
     f0 = np.asarray(host[0], np.uint64) | \
         (np.asarray(host[1], np.uint64) << np.uint64(32))
     f1 = np.asarray(host[2], np.uint64) | \
@@ -381,13 +400,10 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     m = f0.shape[0]
     final_degree = m // lde_factor
     coset = int(npgl.inv(np.uint64(coset_inv)))
-    plan = ntt.get_plan(m.bit_length() - 1)
-    mono0 = gl.to_u64(ntt.coset_intt_cols(gl.from_u64(f0).reshape(m, 1),
-                                          coset, plan)).reshape(m)
-    mono1 = gl.to_u64(ntt.coset_intt_cols(gl.from_u64(f1).reshape(m, 1),
-                                          coset, plan)).reshape(m)
-    mono0 = np.asarray(mono0)
-    mono1 = np.asarray(mono1)
+    from .fri import interpolate_final_host
+    mono0 = np.asarray(interpolate_final_host(f0, coset), np.uint64)
+    mono1 = np.asarray(interpolate_final_host(f1, coset), np.uint64)
+    _v("final interpolation")
     assert not mono0[final_degree:].any(), "FRI final poly degree too high"
     assert not mono1[final_degree:].any(), "FRI final poly degree too high"
     transcript.witness_field_elements([int(x) for x in mono0[:final_degree]])

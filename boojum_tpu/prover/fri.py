@@ -103,6 +103,33 @@ class FriResult:
         self.monomial_forms = ([], [])
 
 
+def interpolate_final_host(vals_bitrev: np.ndarray, coset: int) -> list[int]:
+    """Exact host-int inverse coset-NTT for the tiny final FRI layer
+    (m ≤ ~64): mono[j] = m⁻¹ · coset⁻ʲ · Σᵢ nat[i]·ω⁻ⁱʲ. Bit-identical to
+    ntt.coset_intt_cols on bitreversed input, without a device dispatch —
+    two tiny tunnel roundtrips used to cost more than whole FRI rounds."""
+    m = int(vals_bitrev.shape[0])
+    log_m = m.bit_length() - 1
+    from ..field import goldilocks as gl
+    rev = np.asarray(ntt.bitreverse_indices(log_m))
+    nat = [int(x) for x in np.asarray(vals_bitrev, np.uint64)[rev]]
+    omega_inv = pow(int(gl.domain_generator(log_m)), ORDER - 2, ORDER)
+    m_inv = pow(m, ORDER - 2, ORDER)
+    coset_inv = pow(int(coset) % ORDER, ORDER - 2, ORDER)
+    out = []
+    cj = 1
+    for j in range(m):
+        w = pow(omega_inv, j, ORDER)
+        acc = 0
+        x = 1
+        for i in range(m):
+            acc = (acc + nat[i] * x) % ORDER
+            x = x * w % ORDER
+        out.append(acc * m_inv % ORDER * cj % ORDER)
+        cj = cj * coset_inv % ORDER
+    return out
+
+
 def do_fri(h_c0: np.ndarray, h_c1: np.ndarray, transcript, schedule: list[int],
            lde_factor: int, cap_size: int, hasher: str) -> FriResult:
     full_size = h_c0.shape[0]
@@ -139,12 +166,8 @@ def do_fri(h_c0: np.ndarray, h_c1: np.ndarray, transcript, schedule: list[int],
     m = cur_c0.shape[0]
     final_degree = m // lde_factor
     coset = int(npgl.inv(coset_inv))
-    from ..field import goldilocks as gl
-    plan = ntt.get_plan(m.bit_length() - 1)
-    mono_c0 = gl.to_u64(ntt.coset_intt_cols(gl.from_u64(cur_c0).reshape(m, 1),
-                                            coset, plan)).reshape(m)
-    mono_c1 = gl.to_u64(ntt.coset_intt_cols(gl.from_u64(cur_c1).reshape(m, 1),
-                                            coset, plan)).reshape(m)
+    mono_c0 = np.asarray(interpolate_final_host(cur_c0, coset), np.uint64)
+    mono_c1 = np.asarray(interpolate_final_host(cur_c1, coset), np.uint64)
     assert not mono_c0[final_degree:].any(), "FRI final poly degree too high"
     assert not mono_c1[final_degree:].any(), "FRI final poly degree too high"
     transcript.witness_field_elements([int(x) for x in mono_c0[:final_degree]])

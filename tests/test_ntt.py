@@ -158,3 +158,21 @@ def test_fourstep_at_prover_scale():
     assert np.array_equal(
         np.asarray(gl.to_u64(ntt.intt_fourstep_cols(x))),
         np.asarray(gl.to_u64(ntt.intt_cols(x, plan))))
+
+
+def test_interpolate_final_host_matches_device_path():
+    """fri.interpolate_final_host (host Python ints, no dispatch) is
+    bit-identical to the coset_intt_cols device path on the final-FRI-layer
+    shape (bitreversed coset evaluations of a low-degree poly)."""
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.ntt import ntt as _ntt
+    from boojum_tpu.prover.fri import interpolate_final_host
+
+    rng = np.random.default_rng(5)
+    for m, coset in ((16, 7), (32, 12345678901234567)):
+        vals = rng.integers(0, gl.ORDER, m, dtype=np.uint64)
+        plan = _ntt.get_plan(m.bit_length() - 1)
+        want = gl.to_u64(_ntt.coset_intt_cols(
+            gl.from_u64(vals).reshape(m, 1), coset, plan)).reshape(m)
+        got = interpolate_final_host(vals, coset)
+        assert [int(x) for x in np.asarray(want)] == got
