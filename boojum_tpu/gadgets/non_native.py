@@ -362,6 +362,71 @@ class NonNativeField:
         for a, b in zip(self.limbs, other.limbs):
             ops.enforce_equal(a, b)
 
+    # -- reference-parity helpers (implementation_u16.rs) ---------------------
+
+    def double(self) -> "NonNativeField":
+        """implementation_u16.rs double/lazy_double."""
+        return self.add(self)
+
+    def square(self) -> "NonNativeField":
+        return self.mul(self)
+
+    def negated(self) -> "NonNativeField":
+        return self.neg()
+
+    def normalize(self) -> "NonNativeField":
+        """Return the canonical representative (< M) of self, with
+        self ≡ r (mod M) enforced (implementation_u16.rs normalize)."""
+        cs = self.cs
+        r_val = self.get_witness() % self.params.modulus if cs.resolver else 0
+        r = NonNativeField.allocate_checked(cs, self.params, r_val,
+                                            self.table_ids)
+        one = NonNativeField.constant(cs, self.params, 1, self.table_ids)
+        self._enforce_mul(one, r)
+        r.enforce_canonical()
+        return r
+
+    def is_zero(self) -> int:
+        """Boolean variable: value ≡ 0 (mod M). Normalizes first; the
+        canonical limbs sum to zero iff all are zero (sum ≪ p)."""
+        from ..cs.gates import ZeroCheckGate
+        from .num import CircuitOps
+        r = self.normalize()
+        ops = CircuitOps(self.cs)
+        acc = r.limbs[0]
+        for l in r.limbs[1:]:
+            acc = ops.add(acc, l)
+        flag = ZeroCheckGate.is_zero_batch(self.cs, [acc])
+        return int(flag[0])
+
+    def mask(self, flag_var) -> "NonNativeField":
+        """flag ? self : 0 (implementation_u16.rs mask)."""
+        zero = NonNativeField.constant(self.cs, self.params, 0, self.table_ids)
+        return NonNativeField.select(flag_var, self, zero)
+
+    def mask_negated(self, flag_var) -> "NonNativeField":
+        zero = NonNativeField.constant(self.cs, self.params, 0, self.table_ids)
+        return NonNativeField.select(flag_var, zero, self)
+
+    def allocate_inverse_or_zero(self) -> "NonNativeField":
+        """inv(self) when invertible else 0, with self·inv == (is_zero ? 0:1)
+        enforced (implementation_u16.rs allocate_inverse_or_zero)."""
+        cs = self.cs
+        M = self.params.modulus
+        if cs.resolver:
+            v = self.get_witness() % M
+            inv_val = pow(v, -1, M) if v else 0
+        else:
+            inv_val = 0
+        inv = NonNativeField.allocate_checked(cs, self.params, inv_val,
+                                              self.table_ids)
+        z = self.is_zero()
+        one = NonNativeField.constant(cs, self.params, 1, self.table_ids)
+        zero = NonNativeField.constant(cs, self.params, 0, self.table_ids)
+        rhs = NonNativeField.select(z, zero, one)
+        self._enforce_mul(inv, rhs)
+        return inv
+
     @staticmethod
     def select(flag_var, a: "NonNativeField", b: "NonNativeField"):
         """flag ? a : b, limbwise (SelectionGate)."""

@@ -72,6 +72,117 @@ class Num:
     def get_witness(self) -> int:
         return self.cs.get_value(self.variable)
 
+    # -- reference-parity API (src/gadgets/num/mod.rs) ------------------------
+
+    @staticmethod
+    def zero(cs) -> "Num":
+        return Num.constant(cs, 0)
+
+    def enforce_equal(self, other: "Num"):
+        """src/gadgets/num/mod.rs:409."""
+        from .num import CircuitOps
+        CircuitOps(self.cs).enforce_equal(self.variable, other.variable)
+
+    def conditionally_enforce_equal(self, flag: "Boolean", other: "Num"):
+        """flag · (self − other) == 0 (src/gadgets/num/mod.rs:973)."""
+        cs = self.cs
+        diff = self.sub(other)
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        FmaGate.enforce_fma_batch(cs, 1, ([flag.variable], [diff.variable]),
+                                  0, [self._one()], [zero])
+
+    def mask(self, flag: "Boolean") -> "Num":
+        """self · flag (src/gadgets/num/mod.rs:438)."""
+        v = FmaGate.compute_fma(self.cs, 1, (self.variable, flag.variable),
+                                0, self._one())
+        return Num(self.cs, v)
+
+    def mask_negated(self, flag: "Boolean") -> "Num":
+        """self · (1 − flag) (src/gadgets/num/mod.rs:465)."""
+        return self.mask(flag.not_())
+
+    @staticmethod
+    def fma(cs, a: "Num", b: "Num", coeff_quad: int, c: "Num",
+            coeff_lin: int) -> "Num":
+        """coeff_quad·a·b + coeff_lin·c (src/gadgets/num/mod.rs:1012)."""
+        v = FmaGate.compute_fma(cs, coeff_quad % P, (a.variable, b.variable),
+                                coeff_lin % P, c.variable)
+        return Num(cs, v)
+
+    def inverse_unchecked(self) -> "Num":
+        """Witness inverse with self·inv == 1 enforced
+        (src/gadgets/num/mod.rs:1036; unsatisfiable when self == 0)."""
+        from .num import CircuitOps
+        return Num(self.cs, CircuitOps(self.cs).inverse(self.variable))
+
+    @staticmethod
+    def conditionally_swap(flag: "Boolean", a: "Num", b: "Num"):
+        """Returns (flag ? b : a, flag ? a : b) via the swap gate
+        (src/gadgets/num/mod.rs:1052)."""
+        from ..cs.gates import ConditionalSwapGate
+        ra, rb = ConditionalSwapGate.swap_batch(
+            a.cs, flag.variable, [a.variable], [b.variable])
+        return Num(a.cs, int(ra[0])), Num(a.cs, int(rb[0]))
+
+    @staticmethod
+    def linear_combination(cs, pairs) -> "Num":
+        """Σ coeff_i · num_i via chained reduction gates
+        (src/gadgets/num/mod.rs:621)."""
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        acc = None
+        rest = [(int(c) % P, n.variable) for c, n in pairs]
+        while rest or acc is None:
+            group = rest[:3] if acc is not None else rest[:4]
+            coeffs = ([1] if acc is not None else []) + [c for c, _ in group]
+            terms = ([acc] if acc is not None else []) + [t for _, t in group]
+            while len(terms) < 4:
+                terms.append(zero)
+                coeffs.append(0)
+            acc = ReductionGate.reduce_terms(cs, coeffs, terms)
+            rest = rest[len(group):]
+        return Num(cs, acc)
+
+    @staticmethod
+    def enforce_zero_for_linear_combination(cs, pairs):
+        """Σ coeff_i · num_i == 0 (src/gadgets/num/mod.rs:664)."""
+        acc = Num.linear_combination(cs, pairs)
+        acc.enforce_equal(Num.zero(cs))
+
+    @staticmethod
+    def dot_product(cs, a_nums, b_nums) -> "Num":
+        """Σ a_i·b_i through dot-product gates, chained in blocks of the
+        gate width (src/gadgets/num/mod.rs:1107,1134)."""
+        from ..cs.gates import DotProductGate
+        n_gate = DotProductGate.N
+        acc = None
+        pairs = list(zip(a_nums, b_nums))
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        while pairs:
+            group = pairs[:n_gate - (1 if acc is not None else 0)]
+            pairs = pairs[len(group):]
+            flat = []
+            if acc is not None:
+                flat += [acc, one]
+            for a, b in group:
+                flat += [a.variable, b.variable]
+            while len(flat) < 2 * n_gate:
+                zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+                flat += [zero, zero]
+            out = DotProductGate.dot_batch(
+                cs, np.asarray(flat, np.uint64)[:, None])
+            acc = int(out[0])
+        return Num(cs, acc if acc is not None else
+                   ConstantsAllocatorGate.allocate_constant(cs, 0))
+
+    def spread_into_bits(self, limit: int) -> list:
+        """LSB-first boolean decomposition, canonical when full-width
+        (src/gadgets/num/mod.rs:306)."""
+        from .num import CircuitOps
+        from .recursion.primitives import decompose_bits
+        bits = decompose_bits(self.cs, CircuitOps(self.cs), self.variable,
+                              limit, enforce_canonical=(limit == 64))
+        return [Boolean(self.cs, int(b)) for b in bits]
+
 
 @dataclass(frozen=True)
 class Boolean:
@@ -108,6 +219,89 @@ class Boolean:
 
     def get_witness(self) -> bool:
         return bool(self.cs.get_value(self.variable))
+
+    # -- reference-parity API (src/gadgets/boolean/mod.rs) --------------------
+
+    @staticmethod
+    def constant(cs, value: bool) -> "Boolean":
+        """src/gadgets/boolean/mod.rs:225 (constants are 0/1 by
+        construction; no booleanity gate needed)."""
+        return Boolean(cs, ConstantsAllocatorGate.allocate_constant(
+            cs, 1 if value else 0))
+
+    @staticmethod
+    def from_variable_checked(cs, variable: int) -> "Boolean":
+        """Enforce booleanity on an existing variable
+        (src/gadgets/boolean/mod.rs:183)."""
+        BooleanConstraintGate.enforce_batch(cs, [variable])
+        return Boolean(cs, variable)
+
+    negated = not_
+
+    def xor(self, other: "Boolean") -> "Boolean":
+        """a + b − 2ab (src/gadgets/boolean/mod.rs:449)."""
+        cs = self.cs
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        # s = a + b; out = s − 2ab = 1·s + (p−2)·(a·b) via two FMAs
+        s = FmaGate.compute_fma(cs, 1, (one, self.variable), 1, other.variable)
+        ab = FmaGate.compute_fma(cs, 1, (self.variable, other.variable), 0, one)
+        v = FmaGate.compute_fma(cs, P - 2, (one, ab), 1, s)
+        return Boolean(cs, v)
+
+    def equals(self, other: "Boolean") -> "Boolean":
+        """NOT xor (src/gadgets/boolean/mod.rs:696)."""
+        return self.xor(other).not_()
+
+    def enforce_equal(self, other: "Boolean"):
+        from .num import CircuitOps
+        CircuitOps(self.cs).enforce_equal(self.variable, other.variable)
+
+    def conditionally_enforce_true(self, flag: "Boolean"):
+        """flag → self: flag·(1 − self) == 0
+        (src/gadgets/boolean/mod.rs:493)."""
+        cs = self.cs
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        # flag·self − flag == 0
+        FmaGate.enforce_fma_batch(cs, 1, ([flag.variable], [self.variable]),
+                                  P - 1, [flag.variable], [zero])
+
+    def conditionally_enforce_false(self, flag: "Boolean"):
+        """flag → NOT self: flag·self == 0
+        (src/gadgets/boolean/mod.rs:533)."""
+        cs = self.cs
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        FmaGate.enforce_fma_batch(cs, 1, ([flag.variable], [self.variable]),
+                                  0, [one], [zero])
+
+    @staticmethod
+    def multi_and(cs, bools: list) -> "Boolean":
+        """AND over a list: product chain (src/gadgets/boolean/mod.rs:572)."""
+        assert bools
+        acc = bools[0]
+        for b in bools[1:]:
+            acc = acc.and_(b)
+        return acc
+
+    @staticmethod
+    def multi_or(cs, bools: list) -> "Boolean":
+        """OR over a list = NOT(AND of negations)
+        (src/gadgets/boolean/mod.rs:609)."""
+        assert bools
+        return Boolean.multi_and(cs, [b.not_() for b in bools]).not_()
+
+    def mask(self, flag: "Boolean") -> "Boolean":
+        """self AND flag (src/gadgets/boolean/mod.rs:644)."""
+        return self.and_(flag)
+
+    def mask_negated(self, flag: "Boolean") -> "Boolean":
+        return self.and_(flag.not_())
+
+    def select(self, flag: "Boolean", other: "Boolean") -> "Boolean":
+        v = SelectionGate.select_batch(
+            self.cs, np.asarray([self.variable], np.uint64),
+            np.asarray([other.variable], np.uint64), flag.variable)
+        return Boolean(self.cs, int(v[0]))
 
 
 class _UIntBase:
@@ -190,6 +384,90 @@ class _UIntBase:
             np.asarray([[self.variable, other.variable, zero,
                          int(c[0]), int(cout[0])]], np.uint64))
         return type(self)(cs, int(c[0])), Boolean(cs, int(cout[0]))
+
+    def sub(self, other):
+        """(self − other) mod 2^WIDTH, returns (result, borrow Boolean)
+        (src/gadgets/u32/mod.rs:339 overflowing_sub)."""
+        from ..cs.gates.arith import U32SubGate
+        cs = self.cs
+        if self.WIDTH == 32 and cs.gate_is_allowed("u32_sub"):
+            c, bout = U32SubGate.sub_batch(cs, [self.variable],
+                                           [other.variable])
+            return type(self)(cs, int(c[0])), Boolean(cs, int(bout[0]))
+        # generic width: re-use the add gate as other + result == self
+        # + borrow·2^W (same relation the reference's UIntXAdd swap uses)
+        assert cs.gate_is_allowed(f"uintx_add_{self.WIDTH}")
+        zero = ConstantsAllocatorGate.allocate_constant(cs, 0)
+        c = cs.alloc_variables(1)
+        bout = cs.alloc_variables(1)
+
+        def fn(vals):
+            d = int(vals[0, 0]) - int(vals[1, 0])
+            return np.stack([np.asarray([d % (1 << self.WIDTH)], np.uint64),
+                             np.asarray([1 if d < 0 else 0], np.uint64)])
+
+        cs.set_values_with_dependencies(
+            np.asarray([[self.variable], [other.variable]], np.uint64),
+            np.stack([c, bout]), fn)
+        cs.place_general_gate_batch(
+            f"uintx_add_{self.WIDTH}", None, [1 << self.WIDTH],
+            np.asarray([[other.variable, int(c[0]), zero,
+                         self.variable, int(bout[0])]], np.uint64))
+        return type(self)(cs, int(c[0])), Boolean(cs, int(bout[0]))
+
+    # reference names (src/gadgets/u32/mod.rs:258,339)
+    overflowing_add = add
+    overflowing_sub = sub
+
+    def add_no_overflow(self, other, table_ids: dict = None):
+        """Add with the carry pinned to zero (src/gadgets/u32/mod.rs:580)."""
+        res, carry = self.add(other)
+        from .num import CircuitOps
+        ops = CircuitOps(self.cs)
+        ops.enforce_zero(carry.variable)
+        return res
+
+    def sub_no_overflow(self, other, table_ids: dict = None):
+        """Sub with the borrow pinned to zero (src/gadgets/u32/mod.rs:613)."""
+        res, borrow = self.sub(other)
+        from .num import CircuitOps
+        ops = CircuitOps(self.cs)
+        ops.enforce_zero(borrow.variable)
+        return res
+
+    def increment_checked(self, table_ids: dict = None):
+        """self + 1 with no overflow allowed (src/gadgets/u32/mod.rs:705)."""
+        one = type(self)(self.cs, ConstantsAllocatorGate.allocate_constant(
+            self.cs, 1))
+        return self.add_no_overflow(one, table_ids)
+
+    def equals(self, other) -> "Boolean":
+        from ..cs.gates import ZeroCheckGate
+        from .num import CircuitOps
+        diff = CircuitOps(self.cs).sub(self.variable, other.variable)
+        flag = ZeroCheckGate.is_zero_batch(self.cs, [diff])
+        return Boolean(self.cs, int(flag[0]))
+
+    def is_zero(self) -> "Boolean":
+        flag = ZeroCheckGate.is_zero_batch(self.cs, [self.variable])
+        return Boolean(self.cs, int(flag[0]))
+
+    def select(self, flag: "Boolean", other):
+        """flag ? self : other (no new range check needed)."""
+        v = SelectionGate.select_batch(
+            self.cs, np.asarray([self.variable], np.uint64),
+            np.asarray([other.variable], np.uint64), flag.variable)
+        return type(self)(self.cs, int(v[0]))
+
+    def mask(self, flag: "Boolean"):
+        """self · flag (src/gadgets/u32/mod.rs:646)."""
+        one = ConstantsAllocatorGate.allocate_constant(self.cs, 1)
+        v = FmaGate.compute_fma(self.cs, 1, (self.variable, flag.variable),
+                                0, one)
+        return type(self)(self.cs, v)
+
+    def mask_negated(self, flag: "Boolean"):
+        return self.mask(flag.not_())
 
     def get_witness(self) -> int:
         return self.cs.get_value(self.variable)
@@ -293,6 +571,116 @@ class UInt16(_UIntBase):
 class UInt32(_UIntBase):
     WIDTH = 32
 
+    # -- reference-parity API (src/gadgets/u32/mod.rs) ------------------------
+
+    def to_le_bytes(self, table_ids: dict = None) -> list:
+        """LSB-first byte split as UInt8 handles (u32/mod.rs:843)."""
+        return [UInt8(self.cs, b) for b in self.to_bytes(table_ids)]
+
+    def to_be_bytes(self, table_ids: dict = None) -> list:
+        return list(reversed(self.to_le_bytes(table_ids)))
+
+    decompose_into_bytes = to_le_bytes
+
+    @staticmethod
+    def from_le_bytes(cs, bytes_u8: list, table_ids: dict = None) -> "UInt32":
+        """Recompose 4 (range-checked) bytes (u32/mod.rs:509)."""
+        assert len(bytes_u8) == 4
+        terms = [b.variable for b in bytes_u8]
+        acc = ReductionGate.reduce_terms(
+            cs, [1, 1 << 8, 1 << 16, 1 << 24], terms)
+        return UInt32(cs, acc)
+
+    @staticmethod
+    def from_be_bytes(cs, bytes_u8: list, table_ids: dict = None) -> "UInt32":
+        return UInt32.from_le_bytes(cs, list(reversed(bytes_u8)), table_ids)
+
+    def fma_with_carry(self, b: "UInt32", c: "UInt32", carry_in: "UInt32",
+                       table_ids: dict = None):
+        """self·b + c + carry_in → (low32, high32) through the byte-limbed
+        U8x4FMA gate (u32/mod.rs:542; the sum can exceed the field order so
+        the relation must be byte-decomposed, same as the reference)."""
+        from ..cs.gates.arith import U8x4FMAGate
+        cs = self.cs
+        a4 = self.to_bytes(table_ids)
+        b4 = b.to_bytes(table_ids)
+        c4 = c.to_bytes(table_ids)
+        cin4 = carry_in.to_bytes(table_ids)
+        low4, high4, pc2 = U8x4FMAGate.perform_fma_batch(
+            cs, [a4], [b4], [c4], [cin4])
+        low4 = [int(v) for v in low4[0]]
+        high4 = [int(v) for v in high4[0]]
+        byte_range_check(cs, low4 + high4 + [int(pc2[0, 0]), int(pc2[0, 1])],
+                         table_ids)
+        low = UInt32(cs, ReductionGate.reduce_terms(
+            cs, [1, 1 << 8, 1 << 16, 1 << 24], low4))
+        high = UInt32(cs, ReductionGate.reduce_terms(
+            cs, [1, 1 << 8, 1 << 16, 1 << 24], high4))
+        return low, high
+
+    def non_widening_mul(self, other: "UInt32",
+                         table_ids: dict = None) -> "UInt32":
+        """self·other with the high word pinned to zero (u32/mod.rs:731)."""
+        zero = UInt32.allocate_constant(self.cs, 0)
+        low, high = self.fma_with_carry(other, zero, zero, table_ids)
+        from .num import CircuitOps
+        CircuitOps(self.cs).enforce_zero(high.variable)
+        return low
+
+    def div_by_constant(self, constant: int, table_ids: dict = None):
+        """(q, r) with self == q·constant + r, r < constant
+        (u32/mod.rs:769). The witness-side products fit u32, so the field
+        relation q·constant + r == self is exact."""
+        cs = self.cs
+        assert 0 < constant < (1 << 32)
+        sv = self.get_witness() if cs.resolver else 0
+        qv, rv = divmod(sv, constant)
+        q = UInt32.allocate_checked(cs, qv, table_ids)
+        r = UInt32.allocate_checked(cs, rv, table_ids)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        # q·constant + r == self (q·constant ≤ 2^32−1 enforced by sub below)
+        FmaGate.enforce_fma_batch(cs, constant, ([q.variable], [one]), 1,
+                                  [r.variable], [self.variable])
+        # r < constant: r − constant must borrow
+        cst = UInt32.allocate_constant(cs, constant)
+        _, borrow = r.sub(cst)
+        from .num import CircuitOps
+        ops = CircuitOps(cs)
+        ops.enforce_equal(borrow.variable, one)
+        # q·constant must not wrap mod p: pin q ≤ floor((2^32−1)/constant)
+        # so q·constant < 2^32 < p and the field identity is exact.
+        qmax = UInt32.allocate_constant(cs, (1 << 32) - 1 if constant == 1
+                                        else ((1 << 32) - 1) // constant)
+        _, qborrow = qmax.sub(q)
+        ops.enforce_zero(qborrow.variable)
+        return q, r
+
+    def div2(self, table_ids: dict = None) -> "UInt32":
+        """self >> 1 (u32/mod.rs:856): 2·half + bit == self."""
+        cs = self.cs
+        sv = self.get_witness() if cs.resolver else 0
+        half = UInt32.allocate_checked(cs, sv >> 1, table_ids)
+        bit = Boolean.allocate(cs, bool(sv & 1))
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        FmaGate.enforce_fma_batch(cs, 2, ([half.variable], [one]), 1,
+                                  [bit.variable], [self.variable])
+        return half
+
+    def low_u16(self, table_ids: dict = None) -> "UInt16":
+        """Low 16 bits (u32/mod.rs:713)."""
+        return self.decompose_into_uint16(table_ids)[0]
+
+    def decompose_into_uint16(self, table_ids: dict = None) -> list:
+        """(low16, high16) with recomposition enforced (u32/mod.rs:718)."""
+        cs = self.cs
+        sv = self.get_witness() if cs.resolver else 0
+        lo = UInt16.allocate_checked(cs, sv & 0xFFFF, table_ids)
+        hi = UInt16.allocate_checked(cs, sv >> 16, table_ids)
+        one = ConstantsAllocatorGate.allocate_constant(cs, 1)
+        FmaGate.enforce_fma_batch(cs, 1 << 16, ([hi.variable], [one]), 1,
+                                  [lo.variable], [self.variable])
+        return [lo, hi]
+
 
 @dataclass(frozen=True)
 class UInt64:
@@ -308,8 +696,67 @@ class UInt64:
                       UInt32.allocate_checked(cs, (value >> 32) & 0xFFFFFFFF,
                                               table_ids))
 
+    @staticmethod
+    def allocate_constant(cs, value: int):
+        return UInt64(UInt32.allocate_constant(cs, value & 0xFFFFFFFF),
+                      UInt32.allocate_constant(cs, (value >> 32) & 0xFFFFFFFF))
+
     def get_witness(self) -> int:
         return self.low.get_witness() | (self.high.get_witness() << 32)
+
+    # -- reference-parity API (src/gadgets/u64/mod.rs) ------------------------
+
+    def add(self, other: "UInt64"):
+        """Ripple-carry add over the two u32 limbs; returns
+        (result, overflow Boolean) (u64 overflowing_add)."""
+        from ..cs.gates.arith import U32AddGate
+        cs = self.low.cs
+        lo, c = U32AddGate.add_batch(cs, [self.low.variable],
+                                     [other.low.variable])
+        hi, c2 = U32AddGate.add_batch(cs, [self.high.variable],
+                                      [other.high.variable], [int(c[0])])
+        return (UInt64(UInt32(cs, int(lo[0])), UInt32(cs, int(hi[0]))),
+                Boolean(cs, int(c2[0])))
+
+    def sub(self, other: "UInt64"):
+        """Ripple-borrow sub; returns (result, borrow Boolean)."""
+        from ..cs.gates.arith import U32SubGate
+        cs = self.low.cs
+        lo, b = U32SubGate.sub_batch(cs, [self.low.variable],
+                                     [other.low.variable])
+        hi, b2 = U32SubGate.sub_batch(cs, [self.high.variable],
+                                      [other.high.variable], [int(b[0])])
+        return (UInt64(UInt32(cs, int(lo[0])), UInt32(cs, int(hi[0]))),
+                Boolean(cs, int(b2[0])))
+
+    overflowing_add = add
+    overflowing_sub = sub
+
+    def select(self, flag: "Boolean", other: "UInt64") -> "UInt64":
+        return UInt64(self.low.select(flag, other.low),
+                      self.high.select(flag, other.high))
+
+    def equals(self, other: "UInt64") -> "Boolean":
+        return self.low.equals(other.low).and_(self.high.equals(other.high))
+
+    def is_zero(self) -> "Boolean":
+        # low + high ≤ 2·(2^32−1) < p, so the sum is zero iff both are
+        from .num import CircuitOps
+        s = CircuitOps(self.low.cs).add(self.low.variable, self.high.variable)
+        return Num(self.low.cs, s).is_zero()
+
+    def mask(self, flag: "Boolean") -> "UInt64":
+        return UInt64(self.low.mask(flag), self.high.mask(flag))
+
+    def to_le_bytes(self, table_ids: dict = None) -> list:
+        return (self.low.to_le_bytes(table_ids)
+                + self.high.to_le_bytes(table_ids))
+
+    @staticmethod
+    def from_le_bytes(cs, bytes_u8: list, table_ids: dict = None) -> "UInt64":
+        assert len(bytes_u8) == 8
+        return UInt64(UInt32.from_le_bytes(cs, bytes_u8[:4], table_ids),
+                      UInt32.from_le_bytes(cs, bytes_u8[4:], table_ids))
 
 
 class _MultiLimbUInt:
@@ -461,6 +908,41 @@ class _MultiLimbUInt:
                       for _ in range(16 - sl - ol)]
         return UInt512(cs, out_limbs)
 
+    # -- reference-parity views (u256/mod.rs, u512/mod.rs) --------------------
+
+    def decompose_into_u32_limbs(self) -> list:
+        """LSB-first UInt32 limbs (reference decompose_u256_as_u32x8 /
+        decompose_u512_as_u32x16 — our representation IS the limb vector)."""
+        return list(self.limbs)
+
+    @classmethod
+    def from_u32_limbs(cls, cs, limbs: list):
+        """Reference recompose_u256_as_u32x8 / recompose_u512_as_u32x16."""
+        assert len(limbs) == cls.NUM_LIMBS
+        return cls(cs, list(limbs))
+
+    def to_le_bytes(self, table_ids: dict = None) -> list:
+        """LSB-first UInt8 views of every limb (reference to_le_bytes)."""
+        out = []
+        for l in self.limbs:
+            out.extend(UInt8(self.cs, b) for b in l.to_bytes(table_ids))
+        return out
+
+    def to_be_bytes(self, table_ids: dict = None) -> list:
+        return list(reversed(self.to_le_bytes(table_ids)))
+
+    @classmethod
+    def from_le_bytes(cls, cs, bytes_u8: list, table_ids: dict = None):
+        """Recompose from 4·NUM_LIMBS range-checked bytes."""
+        assert len(bytes_u8) == 4 * cls.NUM_LIMBS
+        limbs = [UInt32.from_le_bytes(cs, bytes_u8[4 * i:4 * i + 4], table_ids)
+                 for i in range(cls.NUM_LIMBS)]
+        return cls(cs, limbs)
+
+    @classmethod
+    def from_be_bytes(cls, cs, bytes_u8: list, table_ids: dict = None):
+        return cls.from_le_bytes(cs, list(reversed(bytes_u8)), table_ids)
+
     def div_rem(self, other, table_ids: dict = None):
         """Euclidean division: returns (q, r) with self = q·other + r,
         r < other, both range-checked. (No reference analogue — its u256 has
@@ -516,3 +998,11 @@ class UInt256(_MultiLimbUInt):
 
 class UInt512(_MultiLimbUInt):
     NUM_LIMBS = 16
+
+    def to_low(self) -> "UInt256":
+        """Low 256 bits (u512/mod.rs to_low)."""
+        return UInt256(self.cs, list(self.limbs[:8]))
+
+    def to_high(self) -> "UInt256":
+        """High 256 bits (u512/mod.rs to_high)."""
+        return UInt256(self.cs, list(self.limbs[8:]))

@@ -117,3 +117,43 @@ def test_non_native_div_corruption_detected():
     cs.resolver.values[d.limbs[0]] ^= 1
     cs.pad_and_shrink()
     assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_non_native_parity_helpers():
+    """double/square/normalize/is_zero/mask/allocate_inverse_or_zero
+    (implementation_u16.rs parity surface)."""
+    from boojum_tpu.gadgets.wrappers import Boolean
+
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 14)
+    params = NonNativeParams.for_modulus(BN254)
+    a_val = int.from_bytes(RNG.bytes(31), "big") % BN254
+    a = NonNativeField.allocate_checked(cs, params, a_val)
+    assert a.double().get_witness() == (2 * a_val) % BN254
+    assert a.square().get_witness() == (a_val * a_val) % BN254
+    assert a.negated().get_witness() % BN254 == (-a_val) % BN254
+    r = a.add(a).sub(a).normalize()
+    assert r.get_witness() == a_val
+    assert cs.get_value(a.is_zero()) == 0
+    z = NonNativeField.allocate_checked(cs, params, 0)
+    assert cs.get_value(z.is_zero()) == 1
+    t = Boolean.allocate(cs, True)
+    f = Boolean.allocate(cs, False)
+    assert a.mask(t.variable).get_witness() == a_val
+    assert a.mask(f.variable).get_witness() == 0
+    assert a.mask_negated(f.variable).get_witness() == a_val
+    inv = a.allocate_inverse_or_zero()
+    assert inv.get_witness() == pow(a_val, -1, BN254)
+    zinv = z.allocate_inverse_or_zero()
+    assert zinv.get_witness() == 0
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+def test_non_native_inverse_or_zero_corruption_detected():
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 14)
+    params = NonNativeParams.for_modulus(BN254)
+    a = NonNativeField.allocate_checked(cs, params, 424242)
+    inv = a.allocate_inverse_or_zero()
+    cs.resolver.values[inv.limbs[0]] ^= 1
+    cs.pad_and_shrink()
+    assert not cs.check_if_satisfied(verbose=False)
