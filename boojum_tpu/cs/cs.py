@@ -143,12 +143,20 @@ def _lookup_columns_cleanup(cs: "ConstraintSystem", final_len: int):
         else:
             vs = cs.alloc_variables(count * table.width)
         vs = vs.reshape(count, table.width)
+        table_id = table_idx + INITIAL_LOOKUP_TABLE_ID_VALUE
         for r in range(count):
             rep = start_rep + r
             for j in range(table.width):
                 cs.specialized_copy_data[rep * pw + j, row] = vs[r, j]
+            if lp.id_in_constant:
+                if not lp.share_table_id:
+                    cs.specialized_constants[rep, row] = table_id
+            else:
+                cs.specialized_copy_data[rep * pw + table.width, row] = \
+                    cs.table_ids_as_variables[table_idx]
 
-    # partial rows per table
+    # partial rows per tooling slot (per table for id-in-constant; the one
+    # shared slot pads with table 1 for id-as-variable)
     for t_idx, state in enumerate(cs.lookup_tooling):
         if state is not None:
             row, count = state
@@ -156,7 +164,8 @@ def _lookup_columns_cleanup(cs: "ConstraintSystem", final_len: int):
             cs.lookup_tooling[t_idx] = None
     # full vacant rows -> table 1 (index 0)
     for row in range(cs.lookup_next_row, final_len):
-        cs.specialized_constants[0, row] = INITIAL_LOOKUP_TABLE_ID_VALUE
+        if lp.id_in_constant and lp.share_table_id:
+            cs.specialized_constants[0, row] = INITIAL_LOOKUP_TABLE_ID_VALUE
         pad_instances(0, row, 0, cap)
     cs.lookup_next_row = final_len
 
@@ -506,7 +515,6 @@ class ConstraintSystem:
         lp = self.lookup_parameters
         if not lp.is_specialized:
             return self._enforce_lookup_general_batch(table_id, keys_and_values)
-        assert lp.id_in_constant
         tbl_idx = table_id - INITIAL_LOOKUP_TABLE_ID_VALUE
         kv = np.asarray(keys_and_values, np.uint64)
         width, n = kv.shape
@@ -527,10 +535,15 @@ class ConstraintSystem:
         if not self.config.keep_setup:
             return
         cap = lp.num_repetitions
+        # tooling slot: per-table for id-in-constant (each row holds one
+        # table's lookups), one SHARED slot for id-as-variable (rows may mix
+        # tables; the id rides with each repetition) — reference
+        # lookup_placement.rs:157 tooling_subid
+        tool_idx = tbl_idx if lp.id_in_constant else 0
         rows = np.empty(n, np.int64)
         offsets = np.empty(n, np.int64)
         i = 0
-        state = self.lookup_tooling[tbl_idx]
+        state = self.lookup_tooling[tool_idx]
         if state is not None:
             row, count = state
             take = min(cap - count, n)
@@ -538,7 +551,7 @@ class ConstraintSystem:
             offsets[:take] = count + np.arange(take)
             i = take
             count += take
-            self.lookup_tooling[tbl_idx] = (row, count) if count < cap else None
+            self.lookup_tooling[tool_idx] = (row, count) if count < cap else None
         if i < n:
             rem = n - i
             num_new = -(-rem // cap)
@@ -549,17 +562,25 @@ class ConstraintSystem:
             rows[i:] = new_rows[idx // cap]
             offsets[i:] = idx % cap
             last_count = rem - (num_new - 1) * cap
-            self.lookup_tooling[tbl_idx] = \
+            self.lookup_tooling[tool_idx] = \
                 (int(new_rows[-1]), last_count) if last_count < cap else None
             # shared table-id constant column: id per row
-            if lp.share_table_id:
+            if lp.id_in_constant and lp.share_table_id:
                 self.specialized_constants[0, new_rows] = table_id
         pwidth = lp.specialized_columns_per_repetition()
         col_base = offsets * pwidth
         for j in range(width):
             self.specialized_copy_data[col_base + j, rows] = kv[j]
-        if not lp.share_table_id:
-            raise NotImplementedError("per-repetition table id columns")
+        if lp.id_in_constant:
+            if not lp.share_table_id:
+                # one constant column PER repetition: write this instance's
+                # repetition slot (reference place_constants_specialized)
+                self.specialized_constants[offsets, rows] = table_id
+        else:
+            # id-as-variable: the formal id variable is the last column of
+            # each repetition (reference lookup_placement.rs:195)
+            self.specialized_copy_data[col_base + width, rows] = \
+                self.table_ids_as_variables[tbl_idx]
 
     def _count_lookup_multiplicities(self, table_id: int, kv: np.ndarray):
         tbl_idx = table_id - INITIAL_LOOKUP_TABLE_ID_VALUE
@@ -707,7 +728,6 @@ class ConstraintSystem:
         if nrows == 0:
             return
         vals = self.resolver.values
-        ids = self.specialized_constants[0, :nrows]
         for rep in range(lp.num_repetitions):
             handles = self.specialized_copy_data[rep * pw:(rep + 1) * pw,
                                                  :nrows]
@@ -715,7 +735,12 @@ class ConstraintSystem:
             if not live.any():
                 continue
             block = vals[places.index_of(handles[:, live])]
-            row_ids = ids[live]
+            if not lp.id_in_constant:
+                row_ids = block[lp.width]  # id-variable column value
+            elif lp.share_table_id:
+                row_ids = self.specialized_constants[0, :nrows][live]
+            else:
+                row_ids = self.specialized_constants[rep, :nrows][live]
             for tid in np.unique(row_ids):
                 table = self.get_table(int(tid))
                 sel = row_ids == tid
@@ -838,7 +863,12 @@ class ConstraintSystem:
                 handles = self.specialized_copy_data[
                     rep * pw, :n_lookup_rows]
                 live = (handles & np.uint64(places.PLACEHOLDER_BIT)) == 0
-                ids = self.specialized_constants[0, :n_lookup_rows]
+                if not lp.id_in_constant:
+                    ids = block[lp.width]  # id-variable column value
+                elif lp.share_table_id:
+                    ids = self.specialized_constants[0, :n_lookup_rows]
+                else:
+                    ids = self.specialized_constants[rep, :n_lookup_rows]
                 for r in np.nonzero(live)[0]:
                     table = self.get_table(int(ids[r]))
                     key = np.asarray(
@@ -852,7 +882,8 @@ class ConstraintSystem:
                             print(f"lookup miss at rep {rep} row {r}")
                         continue
                     want = table.content[row_idx]
-                    got = tuple(int(block[i, r]) for i in range(pw))
+                    got = tuple(int(block[i, r])
+                                for i in range(table.width))
                     if got != tuple(int(x) for x in want):
                         ok = False
                         if verbose:

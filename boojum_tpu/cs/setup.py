@@ -365,7 +365,10 @@ def create_base_setup(cs: ConstraintSystem) -> SetupBase:
     lp = cs.lookup_parameters
     if lp.lookup_is_allowed and lp.id_in_constant:
         if lp.is_specialized:
-            table_id_idx = [num_general_consts]
+            # one constant column when shared, one PER repetition otherwise
+            table_id_idx = [
+                num_general_consts + r
+                for r in range(lp.total_specialized_lookup_constant_columns())]
         else:
             # general-purpose: the marker gate (evaluator 0) places the id
             # constant at offset 0 of its constant segment

@@ -245,7 +245,8 @@ def recursive_verify(cs: ConstraintSystem, vk: VerificationKey,
                 agg = eops.add(agg, eops.mul(gamma_pows[i],
                                              v_vars[base_off + rep * pw + i]))
             if lp.id_in_constant:
-                tid_at_z = v_consts[fixed.table_ids_column_idxes[0]]
+                tid_cols = fixed.table_ids_column_idxes
+                tid_at_z = v_consts[tid_cols[min(rep, len(tid_cols) - 1)]]
                 agg = eops.add(agg, eops.mul(gamma_pows[width], tid_at_z))
             term = eops.sub(eops.mul(v_a[rep], agg), sub_term)
             rhs = eops.add(rhs, eops.mul(term, next(it)))

@@ -413,6 +413,45 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     return result
 
 
+class FetchCollector:
+    """Batches every pending device->host transfer of the query phase into
+    ONE ``jax.device_get`` (each get is a full tunnel round-trip; the query
+    phase otherwise issues ~10 of them — one per oracle/FRI layer)."""
+
+    def __init__(self):
+        self._items = []
+
+    def add(self, dev_arrays, callback):
+        self._items.append((dev_arrays, callback))
+
+    def flush(self):
+        host = jax.device_get([d for (d, _) in self._items])
+        for (_, cb), h in zip(self._items, host):
+            cb(h)
+        self._items = []
+
+
+@functools.lru_cache(maxsize=None)
+def _path_gather_jit(depth):
+    """All sibling-path levels + own leaves of one tree in ONE dispatch:
+    (idxs, leaves_lo, leaves_hi, nodes_lo, nodes_hi, ...) ->
+    (depth+1, 2, 4, nq) u32 (levels 0..depth-1 are siblings, last is own)."""
+
+    def f(idxs, leaf_lo, leaf_hi, *layers):
+        outs = []
+        for level in range(depth):
+            if level == 0:
+                lo, hi = leaf_lo, leaf_hi
+            else:
+                lo, hi = layers[2 * (level - 1)], layers[2 * level - 1]
+            sib = (idxs >> level) ^ 1
+            outs.append(jnp.stack((lo[:, sib], hi[:, sib])))
+        outs.append(jnp.stack((leaf_lo[:, idxs], leaf_hi[:, idxs])))
+        return jnp.stack(outs)
+
+    return jax.jit(f)
+
+
 class DeviceTree:
     """Merkle-cap tree whose layers STAY on device; only the cap crosses to
     host at commit time, and query paths cross as one small batched gather
@@ -438,26 +477,32 @@ class DeviceTree:
                               for j in range(arr.shape[1])]
         return self._cap_host
 
-    def prefetch_proofs(self, leaf_indices):
-        """Gather every queried leaf + sibling path in ONE host transfer."""
+    def prefetch_proofs(self, leaf_indices, collector: FetchCollector = None):
+        """Gather every queried leaf + sibling path in ONE device dispatch;
+        the host transfer is immediate, or deferred into ``collector`` so
+        several trees share a single ``device_get``."""
         idxs = np.asarray(sorted(set(int(i) for i in leaf_indices)), np.int64)
         depth = len(self.layers) - 1  # path excludes the cap layer
-        outs = []
-        for level in range(depth):
-            lo, hi = self.layers[level]
-            sib = jnp.asarray((idxs >> level) ^ 1)
-            outs.append((lo[:, sib], hi[:, sib]))
-        lo0, hi0 = self.layers[0]
-        own = jnp.asarray(idxs)
-        outs.append((lo0[:, own], hi0[:, own]))
-        host = jax.device_get(outs)
-        u64 = [np.asarray(l, np.uint64) | (np.asarray(h, np.uint64) << np.uint64(32))
-               for (l, h) in host]
-        for qi, leaf_idx in enumerate(idxs):
-            leaf = tuple(int(u64[-1][i, qi]) for i in range(4))
-            path = [tuple(int(u64[level][i, qi]) for i in range(4))
-                    for level in range(depth)]
-            self._path_cache[int(leaf_idx)] = (leaf, path)
+        flat_layers = []
+        for level in range(1, depth):
+            flat_layers.extend(self.layers[level])
+        dev = _path_gather_jit(depth)(jnp.asarray(idxs), *self.layers[0],
+                                      *flat_layers)
+
+        def ingest(host):
+            arr = np.asarray(host)
+            u64 = arr[:, 0].astype(np.uint64) | \
+                (arr[:, 1].astype(np.uint64) << np.uint64(32))
+            for qi, leaf_idx in enumerate(idxs):
+                leaf = tuple(int(u64[depth, i, qi]) for i in range(4))
+                path = [tuple(int(u64[level, i, qi]) for i in range(4))
+                        for level in range(depth)]
+                self._path_cache[int(leaf_idx)] = (leaf, path)
+
+        if collector is None:
+            ingest(jax.device_get(dev))
+        else:
+            collector.add(dev, ingest)
 
     def get_proof(self, idx: int):
         if idx not in self._path_cache:
@@ -479,22 +524,30 @@ class DeviceFlatOracle:
     def get_cap(self):
         return self.tree.get_cap()
 
-    def prefetch(self, flat_indices):
+    def prefetch(self, flat_indices, collector: FetchCollector = None):
         e = self.elems_per_leaf
         leaf_idxs = sorted(set(int(i) // e for i in flat_indices))
-        self.tree.prefetch_proofs(leaf_idxs)
+        self.tree.prefetch_proofs(leaf_idxs, collector)
         starts = np.asarray(leaf_idxs, np.int64)[:, None] * e + \
             np.arange(e)[None, :]
         gidx = jnp.asarray(starts.reshape(-1))
-        outs = jax.device_get((self.c0.lo[gidx], self.c0.hi[gidx],
-                               self.c1.lo[gidx], self.c1.hi[gidx]))
-        v0 = (np.asarray(outs[0], np.uint64) |
-              (np.asarray(outs[1], np.uint64) << np.uint64(32))).reshape(-1, e)
-        v1 = (np.asarray(outs[2], np.uint64) |
-              (np.asarray(outs[3], np.uint64) << np.uint64(32))).reshape(-1, e)
-        for row, li in enumerate(leaf_idxs):
-            self._chunk_cache[li] = ([int(x) for x in v0[row]],
-                                     [int(x) for x in v1[row]])
+        dev = jnp.stack((self.c0.lo[gidx], self.c0.hi[gidx],
+                         self.c1.lo[gidx], self.c1.hi[gidx]))
+
+        def ingest(host):
+            outs = np.asarray(host)
+            v0 = (outs[0].astype(np.uint64) |
+                  (outs[1].astype(np.uint64) << np.uint64(32))).reshape(-1, e)
+            v1 = (outs[2].astype(np.uint64) |
+                  (outs[3].astype(np.uint64) << np.uint64(32))).reshape(-1, e)
+            for row, li in enumerate(leaf_idxs):
+                self._chunk_cache[li] = ([int(x) for x in v0[row]],
+                                         [int(x) for x in v1[row]])
+
+        if collector is None:
+            ingest(jax.device_get(dev))
+        else:
+            collector.add(dev, ingest)
 
     def query(self, flat_idx: int):
         from .proof import OracleQuery

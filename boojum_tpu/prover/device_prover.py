@@ -352,14 +352,14 @@ class DeviceProver:
                         device.to_device_cols(sb.lookup_tables_columns)
                 tbl_dev = self._prove_invariant["tbl_dev"]
             if lp.id_in_constant:
-                tcol = self.num_var + sb.table_ids_column_idxes[0]
-                tid_dev = _setup_slice(tcol, tcol + 1)
+                idxes = sb.table_ids_column_idxes
+                tcol = self.num_var + idxes[0]
+                tid_dev = _setup_slice(tcol, tcol + len(idxes))
                 if tid_dev is None:
                     if "tid_dev" not in self._prove_invariant:
                         self._prove_invariant["tid_dev"] = \
                             device.to_device_cols(sb.constant_columns[
-                                sb.table_ids_column_idxes[0]:
-                                sb.table_ids_column_idxes[0] + 1])
+                                idxes[0]:idxes[0] + len(idxes)])
                     tid_dev = self._prove_invariant["tid_dev"]
             if wl is not None:
                 moff = self.num_var + self.num_wit
@@ -386,8 +386,8 @@ class DeviceProver:
                 jnp.asarray(lbeta_a), gpow_arr,
                 tbl_dev.lo if tbl_dev is not None else jnp.zeros((n, 0), jnp.uint32),
                 tbl_dev.hi if tbl_dev is not None else jnp.zeros((n, 0), jnp.uint32),
-                tid_dev.lo[:, 0] if tid_dev is not None else zero_n,
-                tid_dev.hi[:, 0] if tid_dev is not None else zero_n,
+                tid_dev.lo if tid_dev is not None else zero_n[:, None],
+                tid_dev.hi if tid_dev is not None else zero_n[:, None],
                 sel_base[0] if sel_base is not None else zero_n,
                 sel_base[1] if sel_base is not None else zero_n,
                 mult_dev.lo[:, 0] if mult_dev is not None else zero_n,
@@ -430,7 +430,8 @@ class DeviceProver:
                         w_lo, w_hi = col(vars_dev, base_off + rep * pw + i)
                         agg = agg + EV(*jscale_base(w_lo, w_hi, gpow_a[i]))
                     if lp.id_in_constant:
-                        t_lo, t_hi = col(tid_dev, 0)
+                        ntid = tid_dev.lo.shape[1]
+                        t_lo, t_hi = col(tid_dev, min(rep, ntid - 1))
                         agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
                     a_ev = agg.inv()
                     if sel_base is not None:
@@ -517,8 +518,9 @@ class DeviceProver:
                     size, num_lookup_subargs, width, pw, base_off, a_off,
                     bool(lp.id_in_constant), sel_flat is not None,
                     self.num_table,
-                    self.num_var + (sb.table_ids_column_idxes[0]
-                                    if lp.id_in_constant else 0),
+                    tuple(self.num_var + i
+                          for i in sb.table_ids_column_idxes)
+                    if lp.id_in_constant else (0,),
                     self.num_var + self.num_const,
                     self.num_var + self.num_wit)
                 n_lk = num_lookup_subargs + 1
@@ -540,7 +542,9 @@ class DeviceProver:
                         c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
                         agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
                     if lp.id_in_constant:
-                        tid_idx = self.num_var + sb.table_ids_column_idxes[0]
+                        idxes = sb.table_ids_column_idxes
+                        tid_idx = self.num_var + \
+                            idxes[min(rep, len(idxes) - 1)]
                         t_lo, t_hi = fcol(s_flat, tid_idx)
                         agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
                     a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
@@ -839,69 +843,88 @@ class DeviceProver:
         deep_pows = [(1, 0)]
         for _ in range(total_ch - 1):
             deep_pows.append(ext2.s2_mul(deep_pows[-1], deep))
-        lam_it = iter([scalar_ext(c) for c in deep_pows])
 
         fsize = fri_lde * n
         x_fri = gl.from_u64(device.x_poly_lde_host(n, fri_lde).reshape(-1))
-        h = EV.const((0, 0), (fsize,))
 
-        def base_src(oracle, idx):
-            f = oracle.flat[:fsize]
-            z_ = jnp.zeros((fsize,), jnp.uint32)
-            return EV(f.lo[:, idx], f.hi[:, idx], z_, z_)
-
-        def ext_src(oracle, i0, i1):
-            f = oracle.flat[:fsize]
-            return EV(f.lo[:, i0], f.hi[:, i0], f.lo[:, i1], f.hi[:, i1])
-
-        def quotening(sources, values, point):
-            nonlocal h
-            acc_l = EV.const((0, 0), (fsize,))
-            for s_, v_ in zip(sources, values):
-                diff = s_ - EV.const(tuple(v_), (fsize,))
-                acc_l = acc_l + diff.scale(next(lam_it))
-            den = EV.from_base(x_fri.lo, x_fri.hi) - EV.const(point, (fsize,))
-            h = h + acc_l * den.inv()
-
+        # Build the opening plan: one group per opening point; each source is
+        # (oracle_id, c0, c1) with c1 == -1 marking a base-field column.
+        W_, S_, T2_, Q_ = 0, 1, 2, 3
         sources_z = []
         for i in range(nv + nw):
-            sources_z.append(base_src(witness_oracle, i))
+            sources_z.append((W_, i, -1))
         for i in range(nc):
-            sources_z.append(base_src(setup_oracle, nv + i))
+            sources_z.append((S_, nv + i, -1))
         for i in range(nv):
-            sources_z.append(base_src(setup_oracle, i))
-        sources_z.append(ext_src(stage2_oracle, 0, 1))
+            sources_z.append((S_, i, -1))
+        sources_z.append((T2_, 0, 1))
         for i in range(self.num_intermediates):
-            sources_z.append(ext_src(stage2_oracle, 2 + 2 * i, 3 + 2 * i))
+            sources_z.append((T2_, 2 + 2 * i, 3 + 2 * i))
         if lp.lookup_is_allowed:
             for i in range(nm):
-                sources_z.append(base_src(witness_oracle, nv + nw + i))
+                sources_z.append((W_, nv + nw + i, -1))
             a_off = 2 * (1 + self.num_intermediates)
             for i in range(num_lookup_subargs):
-                sources_z.append(ext_src(stage2_oracle, a_off + 2 * i,
-                                         a_off + 2 * i + 1))
+                sources_z.append((T2_, a_off + 2 * i, a_off + 2 * i + 1))
             b_off = a_off + 2 * num_lookup_subargs
-            sources_z.append(ext_src(stage2_oracle, b_off, b_off + 1))
+            sources_z.append((T2_, b_off, b_off + 1))
             for i in range(nt):
-                sources_z.append(base_src(setup_oracle, nv + nc + i))
+                sources_z.append((S_, nv + nc + i, -1))
         for k in range(qd):
-            sources_z.append(ext_src(quotient_oracle, 2 * k, 2 * k + 1))
+            sources_z.append((Q_, 2 * k, 2 * k + 1))
         assert len(sources_z) == len(values_at_z)
-        quotening(sources_z, values_at_z, z_pt)
-        quotening([ext_src(stage2_oracle, 0, 1)], values_at_z_omega, zw)
+        groups = [(sources_z, values_at_z, z_pt),
+                  ([(T2_, 0, 1)], values_at_z_omega, zw)]
         if lp.lookup_is_allowed:
             srcs0 = []
             a_off = 2 * (1 + self.num_intermediates)
             for i in range(num_lookup_subargs):
-                srcs0.append(ext_src(stage2_oracle, a_off + 2 * i,
-                                     a_off + 2 * i + 1))
+                srcs0.append((T2_, a_off + 2 * i, a_off + 2 * i + 1))
             b_off = a_off + 2 * num_lookup_subargs
-            srcs0.append(ext_src(stage2_oracle, b_off, b_off + 1))
-            quotening(srcs0, values_at_0, (0, 0))
+            srcs0.append((T2_, b_off, b_off + 1))
+            groups.append((srcs0, values_at_0, (0, 0)))
         for open_at, subset in pub_tuples.items():
-            srcs = [base_src(witness_oracle, c_) for (c_, _) in subset]
-            vals = [(value, 0) for (_, value) in subset]
-            quotening(srcs, vals, (open_at, 0))
+            groups.append(([(W_, c_, -1) for (c_, _) in subset],
+                           [(value, 0) for (_, value) in subset],
+                           (open_at, 0)))
+
+        lam_flat = np.stack([scalar_ext(c) for c in deep_pows])
+        val_flat = np.stack([scalar_ext(tuple(v))
+                             for (_, vals_, _) in groups for v in vals_])
+        pts_arr = np.stack([scalar_ext(p) for (_, _, p) in groups])
+        assert len(val_flat) == total_ch
+
+        wf = witness_oracle.flat[:fsize]
+        sf = setup_oracle.flat[:fsize]
+        tf = stage2_oracle.flat[:fsize]
+        qf = quotient_oracle.flat[:fsize]
+        if self.fuse:
+            layout = tuple(tuple(srcs_) for (srcs_, _, _) in groups)
+            out = _deep_jit(fsize, layout)(
+                wf.lo, wf.hi, sf.lo, sf.hi, tf.lo, tf.hi, qf.lo, qf.hi,
+                x_fri.lo, x_fri.hi, jnp.asarray(pts_arr),
+                jnp.asarray(lam_flat), jnp.asarray(val_flat))
+            h = EV(*out)
+        else:
+            mats = (wf, sf, tf, qf)
+            li = 0
+            h = EV.const((0, 0), (fsize,))
+            for (srcs_, vals_, point) in groups:
+                acc_l = EV.const((0, 0), (fsize,))
+                for (oid, c0_, c1_), v_ in zip(srcs_, vals_):
+                    fm = mats[oid]
+                    if c1_ < 0:
+                        z_ = jnp.zeros((fsize,), jnp.uint32)
+                        s_ = EV(fm.lo[:, c0_], fm.hi[:, c0_], z_, z_)
+                    else:
+                        s_ = EV(fm.lo[:, c0_], fm.hi[:, c0_],
+                                fm.lo[:, c1_], fm.hi[:, c1_])
+                    diff = s_ - EV.const(tuple(v_), (fsize,))
+                    acc_l = acc_l + diff.scale(lam_flat[li])
+                    li += 1
+                den = EV.from_base(x_fri.lo, x_fri.hi) - \
+                    EV.const(point, (fsize,))
+                h = h + acc_l * den.inv()
 
         _stage("DEEP")
         # -- FRI + PoW + queries ----------------------------------------------
@@ -939,15 +962,20 @@ class DeviceProver:
             positions.append((_u64_from_lsb(bits[num_inner_bits:]),
                               _u64_from_lsb(bits[:num_inner_bits])))
         flat_idx = [c_ * n + i_ for (c_, i_) in positions]
-        w_rows = witness_oracle.query_many(flat_idx)
-        s2_rows = stage2_oracle.query_many(flat_idx)
-        q_rows = quotient_oracle.query_many(flat_idx)
-        su_rows = setup_oracle.query_many(flat_idx)
+        # every query-phase device->host transfer (leaf rows, Merkle paths,
+        # FRI chunks) rides ONE batched device_get — each get is a full
+        # tunnel round-trip, and the per-oracle version cost ~2 s/prove
+        from .device_merkle import FetchCollector
+        coll = FetchCollector()
+        w_rows = witness_oracle.query_many(flat_idx, collector=coll)
+        s2_rows = stage2_oracle.query_many(flat_idx, collector=coll)
+        q_rows = quotient_oracle.query_many(flat_idx, collector=coll)
+        su_rows = setup_oracle.query_many(flat_idx, collector=coll)
         # batch-prefetch every Merkle path + FRI leaf chunk (device trees)
         for oracle in (witness_oracle, stage2_oracle, quotient_oracle,
                        setup_oracle):
             if hasattr(oracle.tree, "prefetch_proofs"):
-                oracle.tree.prefetch_proofs(flat_idx)
+                oracle.tree.prefetch_proofs(flat_idx, collector=coll)
         fri_oracles = [fri_result.base_oracle] + \
             list(fri_result.intermediate_oracles)
         cur_domain_pf = n
@@ -960,7 +988,11 @@ class DeviceProver:
                 dom >>= k
         for oracle, idxs in zip(fri_oracles, fri_idx_per_oracle):
             if hasattr(oracle, "prefetch"):
-                oracle.prefetch(idxs)
+                oracle.prefetch(idxs, collector=coll)
+        coll.flush()
+        w_rows, s2_rows, q_rows, su_rows = (
+            r.value if hasattr(r, "value") else r
+            for r in (w_rows, s2_rows, q_rows, su_rows))
 
         _stage("query prefetch")
         rounds = []
@@ -1125,14 +1157,15 @@ def _stage23_jit(n, num_var, qd, num_subargs, width, pw, base_off,
                     jnp.broadcast_to(g1l, col.lo.shape),
                     jnp.broadcast_to(g1h, col.lo.shape))))
             if id_in_constant:
-                tid = GL(tid_l[:, None], tid_h[:, None])
+                # (n, n_tid) matrix: one shared column or one per repetition
+                tid = GL(tid_l, tid_h)
                 g0l, g0h, g1l, g1h = gp(width)
                 agg0 = gl.add(agg0, gl.mul(tid, GL(
-                    jnp.broadcast_to(g0l, (n, 1)),
-                    jnp.broadcast_to(g0h, (n, 1)))))
+                    jnp.broadcast_to(g0l, tid.lo.shape),
+                    jnp.broadcast_to(g0h, tid.lo.shape))))
                 agg1 = gl.add(agg1, gl.mul(tid, GL(
-                    jnp.broadcast_to(g1l, (n, 1)),
-                    jnp.broadcast_to(g1h, (n, 1)))))
+                    jnp.broadcast_to(g1l, tid.lo.shape),
+                    jnp.broadcast_to(g1h, tid.lo.shape))))
             a_polys = device.ext_inverse(GL2(agg0, agg1))  # (n, reps)
             if has_sel:
                 sel = GL(sel_l[:, None], sel_h[:, None])
@@ -1178,7 +1211,7 @@ def _bcast_pair(arr2, shape):
 
 @functools.lru_cache(maxsize=None)
 def _lookup_quotient_jit(size, num_subargs, width, pw, base_off, a_off,
-                         id_in_constant, has_sel, num_table, tid_idx,
+                         id_in_constant, has_sel, num_table, tid_idxes,
                          tbl_base, mult_idx):
     """All lookup quotient terms (A relations + B relation) in one program."""
     import jax
@@ -1197,9 +1230,14 @@ def _lookup_quotient_jit(size, num_subargs, width, pw, base_off, a_off,
             agg0 = gl.add(agg0, gl.mul(coli, _bcast_pair(gpow[i, 0], coli.lo.shape)))
             agg1 = gl.add(agg1, gl.mul(coli, _bcast_pair(gpow[i, 1], coli.lo.shape)))
         if id_in_constant:
-            tid = GL(s_lo[:, tid_idx][:, None], s_hi[:, tid_idx][:, None])
-            agg0 = gl.add(agg0, gl.mul(tid, _bcast_pair(gpow[width, 0], (size, 1))))
-            agg1 = gl.add(agg1, gl.mul(tid, _bcast_pair(gpow[width, 1], (size, 1))))
+            # per-rep id constant column (shared mode: all entries equal)
+            cols = np.asarray([tid_idxes[min(r, len(tid_idxes) - 1)]
+                               for r in range(num_subargs)])
+            tid = GL(s_lo[:, cols], s_hi[:, cols])  # (size, reps)
+            agg0 = gl.add(agg0, gl.mul(tid, _bcast_pair(gpow[width, 0],
+                                                        tid.lo.shape)))
+            agg1 = gl.add(agg1, gl.mul(tid, _bcast_pair(gpow[width, 1],
+                                                        tid.lo.shape)))
         a_idx0 = np.asarray([a_off + 2 * r for r in range(num_subargs)])
         a_idx1 = a_idx0 + 1
         a_poly = GL2(GL(g2_lo[:, a_idx0], g2_hi[:, a_idx0]),
@@ -1321,3 +1359,51 @@ def _intt_coset_jit(log_size):
         return jax.jit(lambda x: jntt.coset_intt_fourstep_cols(x, int(g)))
     plan = jntt.get_plan(log_size)
     return jax.jit(lambda x: jntt.coset_intt_cols(x, g, plan))
+
+
+@functools.lru_cache(maxsize=None)
+def _deep_jit(fsize, layout):
+    """One fused program for the whole DEEP/quotening combination
+    (reference: quotening_operation_in_extension, prover.rs:2397,2523).
+
+    ``layout`` is a tuple of groups (one per opening point); each group is a
+    tuple of source descriptors ``(oracle_id, c0, c1)`` with oracle ids
+    0=witness 1=setup 2=stage2 3=quotient and ``c1 == -1`` marking a
+    base-field column.  Challenges/values/points ride as u32 arrays so
+    nothing recompiles across proofs.  Replaces ~3 dispatches per source
+    (hundreds of tiny tunnel round-trips) with a single dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..field.extension import GL2
+
+    def _bc(c22, shape):
+        return GL2(GL(jnp.broadcast_to(c22[0, 0], shape),
+                      jnp.broadcast_to(c22[0, 1], shape)),
+                   GL(jnp.broadcast_to(c22[1, 0], shape),
+                      jnp.broadcast_to(c22[1, 1], shape)))
+
+    def f(w_lo, w_hi, s_lo, s_hi, t2_lo, t2_hi, q_lo, q_hi,
+          x_lo, x_hi, points, lams, vals):
+        mats = ((w_lo, w_hi), (s_lo, s_hi), (t2_lo, t2_hi), (q_lo, q_hi))
+        zero = jnp.zeros((fsize,), jnp.uint32)
+        x = GL2(GL(x_lo, x_hi), GL(zero, zero))
+        h = GL2(GL(zero, zero), GL(zero, zero))
+        ch = 0
+        for g, group in enumerate(layout):
+            acc = GL2(GL(zero, zero), GL(zero, zero))
+            for (oid, c0, c1) in group:
+                lo, hi = mats[oid]
+                if c1 < 0:
+                    src = GL2(GL(lo[:, c0], hi[:, c0]), GL(zero, zero))
+                else:
+                    src = GL2(GL(lo[:, c0], hi[:, c0]),
+                              GL(lo[:, c1], hi[:, c1]))
+                diff = ext2.sub(src, _bc(vals[ch], (fsize,)))
+                acc = ext2.add(acc, ext2.mul(diff, _bc(lams[ch], (fsize,))))
+                ch += 1
+            den = ext2.sub(x, _bc(points[g], (fsize,)))
+            h = ext2.add(h, ext2.mul(acc, device.ext_inverse(den)))
+        return h.c0.lo, h.c0.hi, h.c1.lo, h.c1.hi
+
+    return jax.jit(f)

@@ -110,6 +110,12 @@ class FlatOracle:
         return OracleQuery(leaf_elements=values, proof=path)
 
 
+class _DeferredRows:
+    """Placeholder for a query_many result whose host transfer rides a
+    shared FetchCollector; ``.value`` is set at flush time."""
+    value = None
+
+
 class DeviceOracle:
     """Device-resident oracle: LDEs stay on device; the Merkle tree hashes
     device leaf columns (only hash layers cross to host); query values are
@@ -156,15 +162,27 @@ class DeviceOracle:
     def get_cap(self):
         return self.tree.get_cap()
 
-    def query_many(self, flat_indices) -> np.ndarray:
-        """Gather leaf values for all queries at once -> (q, k) host u64."""
+    def query_many(self, flat_indices, collector=None) -> np.ndarray:
+        """Gather leaf values for all queries at once -> (q, k) host u64.
+        With ``collector`` the host transfer is deferred into the shared
+        batch; the returned object exposes the result as ``.value`` after
+        ``collector.flush()``."""
         import jax.numpy as jnp
 
         idx = jnp.asarray(np.asarray(flat_indices, np.int64))
-        lo = self.flat.lo[idx]
-        hi = self.flat.hi[idx]
-        return (np.asarray(lo, np.uint64) |
-                (np.asarray(hi, np.uint64) << np.uint64(32)))
+        dev = jnp.stack((self.flat.lo[idx], self.flat.hi[idx]))
+
+        def combine(host):
+            arr = np.asarray(host)
+            return (arr[0].astype(np.uint64) |
+                    (arr[1].astype(np.uint64) << np.uint64(32)))
+
+        if collector is None:
+            import jax
+            return combine(jax.device_get(dev))
+        out = _DeferredRows()
+        collector.add(dev, lambda h: setattr(out, "value", combine(h)))
+        return out
 
     def query(self, coset_idx: int, inner_idx: int, cached_rows=None,
               row_pos: int = None) -> OracleQuery:

@@ -280,7 +280,6 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
     lookup_gamma = (0, 0)
     num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
     if lp.lookup_is_allowed:
-        assert lp.id_in_constant or not lp.is_specialized
         lookup_beta = _s2(tuple(transcript.get_multiple_challenges(2)))
         lookup_gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
         width = lp.lookup_width()
@@ -310,8 +309,9 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
                 agg = _np_ext_add(agg, (npgl.mul_scalar(col, gamma_pows[i][0]),
                                         npgl.mul_scalar(col, gamma_pows[i][1])))
             if lp.id_in_constant:
+                tid_cols = setup_base.table_ids_column_idxes
                 table_id_col = setup_base.constant_columns[
-                    setup_base.table_ids_column_idxes[0]]
+                    tid_cols[min(rep, len(tid_cols) - 1)]]
                 agg = _np_ext_add(
                     agg, (npgl.mul_scalar(table_id_col, gamma_pows[width][0]),
                           npgl.mul_scalar(table_id_col, gamma_pows[width][1])))
@@ -413,7 +413,8 @@ def prove(cs: ConstraintSystem, artifacts: ProvingArtifacts,
                 agg = _np_ext_add(agg, (npgl.mul_scalar(col, gamma_pows[i][0]),
                                         npgl.mul_scalar(col, gamma_pows[i][1])))
             if lp.id_in_constant:
-                tid_flat = const_flat[setup_base.table_ids_column_idxes[0]]
+                tid_cols = setup_base.table_ids_column_idxes
+                tid_flat = const_flat[tid_cols[min(rep, len(tid_cols) - 1)]]
                 agg = _np_ext_add(
                     agg, (npgl.mul_scalar(tid_flat, gamma_pows[width][0]),
                           npgl.mul_scalar(tid_flat, gamma_pows[width][1])))

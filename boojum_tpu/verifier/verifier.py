@@ -289,7 +289,8 @@ def _verify_inner(vk: VerificationKey, proof: Proof, transcript_kind: str,
                 agg = ext2.s2_add(agg, ext2.s2_mul(gamma_pows[i],
                                                    v_vars[base_off + rep * pw + i]))
             if lp.id_in_constant:
-                tid_at_z = v_consts[fixed.table_ids_column_idxes[0]]
+                tid_cols = fixed.table_ids_column_idxes
+                tid_at_z = v_consts[tid_cols[min(rep, len(tid_cols) - 1)]]
                 agg = ext2.s2_add(agg, ext2.s2_mul(gamma_pows[width], tid_at_z))
             term = ext2.s2_sub(ext2.s2_mul(v_a[rep], agg), sub_term)
             rhs = ext2.s2_add(rhs, ext2.s2_mul(term, next(it)))
