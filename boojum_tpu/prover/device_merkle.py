@@ -287,6 +287,17 @@ def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _inverse_roots_dev(full_size):
+    """Device copy of the bitreversed inverse-root table — prove-invariant
+    (host build + ~4 MB upload per prove otherwise)."""
+    from .fri import _inverse_roots_bitreversed
+
+    roots = _inverse_roots_bitreversed(full_size)
+    return (jnp.asarray((roots & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((roots >> np.uint64(32)).astype(np.uint32)))
+
+
 def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
                   cap_size: int, hasher: str, mesh=None, fuse=None,
                   verbose: bool = False):
@@ -313,9 +324,7 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     full_size = c0.lo.shape[0]
     result = FriResult()
 
-    roots = _inverse_roots_bitreversed(full_size)
-    rl = jnp.asarray((roots & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    rh = jnp.asarray((roots >> np.uint64(32)).astype(np.uint32))
+    rl, rh = _inverse_roots_dev(full_size)
     coset_inv = pow(int(MULTIPLICATIVE_GENERATOR), ORDER - 2, ORDER)
     _v("roots+upload")
 

@@ -734,8 +734,12 @@ class DeviceProver:
         assert ai == total_terms
 
         # vanishing division + full-domain iNTT -> quotient monomials
-        vanish = gl.from_u64(
-            np.repeat(device.vanishing_inverse_per_coset(n, qd), n))
+        if "vanish" in self._prove_invariant:
+            vanish = self._prove_invariant["vanish"]
+        else:
+            vanish = gl.from_u64(
+                np.repeat(device.vanishing_inverse_per_coset(n, qd), n))
+            self._prove_invariant["vanish"] = vanish
         acc = EV(*jext_mul_base(*acc.a, vanish.lo, vanish.hi))
         plan_log = size.bit_length() - 1
         both = _intt_coset_jit(plan_log)(
@@ -768,20 +772,27 @@ class DeviceProver:
         _stage("quotient")
         # -- evaluations at z -------------------------------------------------
         z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
-        z_pows = npgl.ext_powers(z_pt, n)
         zw = ext2.s2_mul(z_pt, (omega, 0))
-        zw_pows = npgl.ext_powers(zw, n)
+        s2_row0_host = None
         if self.mesh is None:
             from .oracles import eval_monomial_sets_at
             s2m = stage2_oracle.monomials
-            ev_w, ev_s, ev_2, ev_q, ev_zw = eval_monomial_sets_at([
-                (witness_oracle.monomials, z_pows),
-                (setup_oracle.monomials, z_pows),
-                (s2m, z_pows),
-                (quotient_oracle.monomials, z_pows),
-                (GL(s2m.lo[:, :2], s2m.hi[:, :2]), zw_pows),
-            ])
+            extra = ((s2m.lo[0], s2m.hi[0]) if lp.lookup_is_allowed else ())
+            (ev_w, ev_s, ev_2, ev_q, ev_zw), extra_host = \
+                eval_monomial_sets_at([
+                    (witness_oracle.monomials, z_pt),
+                    (setup_oracle.monomials, z_pt),
+                    (s2m, z_pt),
+                    (quotient_oracle.monomials, z_pt),
+                    (GL(s2m.lo[:, :2], s2m.hi[:, :2]), zw),
+                ], extra_fetch=extra)
+            if lp.lookup_is_allowed:
+                s2_row0_host = (extra_host[0].astype(np.uint64) |
+                                (extra_host[1].astype(np.uint64)
+                                 << np.uint64(32)))
         else:
+            z_pows = npgl.ext_powers(z_pt, n)
+            zw_pows = npgl.ext_powers(zw, n)
             ev_w = witness_oracle.eval_monomials_at(z_pows)
             ev_s = setup_oracle.eval_monomials_at(z_pows)
             ev_2 = stage2_oracle.eval_monomials_at(z_pows)
@@ -819,9 +830,12 @@ class DeviceProver:
 
         values_at_0 = []
         if lp.lookup_is_allowed:
-            row0 = (np.asarray(stage2_oracle.monomials.lo[0], np.uint64) |
-                    (np.asarray(stage2_oracle.monomials.hi[0], np.uint64)
-                     << np.uint64(32)))
+            if s2_row0_host is not None:
+                row0 = s2_row0_host  # rode the evals-at-z device_get
+            else:
+                row0 = (np.asarray(stage2_oracle.monomials.lo[0], np.uint64) |
+                        (np.asarray(stage2_oracle.monomials.hi[0], np.uint64)
+                         << np.uint64(32)))
             a_off = 2 * (1 + self.num_intermediates)
             for i in range(num_lookup_subargs):
                 values_at_0.append((int(row0[a_off + 2 * i]),
@@ -845,7 +859,12 @@ class DeviceProver:
             deep_pows.append(ext2.s2_mul(deep_pows[-1], deep))
 
         fsize = fri_lde * n
-        x_fri = gl.from_u64(device.x_poly_lde_host(n, fri_lde).reshape(-1))
+        if "x_fri" in self._prove_invariant:
+            x_fri = self._prove_invariant["x_fri"]
+        else:
+            x_fri = gl.from_u64(device.x_poly_lde_host(n, fri_lde)
+                                .reshape(-1))
+            self._prove_invariant["x_fri"] = x_fri
 
         # Build the opening plan: one group per opening point; each source is
         # (oracle_id, c0, c1) with c1 == -1 marking a base-field column.

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import goldilocks as gl
+from ..utils.npgl import ORDER as npgl_ORDER
 from ..hash.merkle import AlgebraicMerkleTree, BytesMerkleTree
 from . import device
 from .proof import OracleQuery
@@ -126,21 +127,39 @@ class DeviceOracle:
 
     def __init__(self, lagrange_cols_u64, lde_factor: int, cap_size: int,
                  hasher: str, tree_lde: int = None, monomials=None):
+        import os
+        import time as _time
+
+        import jax
         import jax.numpy as jnp
+
+        timing = os.environ.get("BOOJUM_ORACLE_TIMING")
+        _t = [_time.time()]
+
+        def _mark(label, *arrs):
+            if timing:
+                import sys as _sys
+                for a in arrs:
+                    jax.block_until_ready(a)
+                now = _time.time()
+                print("[oracle] %-18s %.3fs" % (label, now - _t[0]),
+                      file=_sys.stderr, flush=True)
+                _t[0] = now
 
         self.lagrange = None  # (n, k) device plain-domain values (when known)
         if monomials is None:
-            import jax
-            # packed upload: only a win over the device tunnel (measured
-            # ~8-10 MB/s up); on CPU the reassembly gather is pure overhead
+            # packed upload: only a win over the device tunnel; on CPU the
+            # reassembly gather is pure overhead
             up = (device.to_device_cols_packed
                   if jax.default_backend() != "cpu" else device.to_device_cols)
             cols_dev = up(lagrange_cols_u64)
+            _mark("upload", cols_dev.lo)
             # retained so the prover can SLICE base-domain columns (witness
             # vars, sigmas, tables) instead of re-uploading them per prove —
             # the upload was the top stage-2 cost over the tunnel
             self.lagrange = cols_dev
             monomials = device.cols_to_monomials(cols_dev)
+            _mark("monomials", monomials.lo)
         self.monomials = monomials  # (n, k) device
         self.n = monomials.shape[0]
         self.num_polys = monomials.shape[1]
@@ -148,6 +167,7 @@ class DeviceOracle:
         self.tree_lde = tree_lde or lde_factor
         lde = device.monomials_to_lde(monomials, lde_factor)  # (L, n, k)
         self.flat = lde.reshape(lde_factor * self.n, self.num_polys)
+        _mark("lde", self.flat.lo)
         assert hasher in ("poseidon", "poseidon2"), \
             "device oracles require an algebraic hasher"
         tree_rows = self.flat[: self.tree_lde * self.n]
@@ -158,6 +178,8 @@ class DeviceOracle:
         else:
             self.tree = AlgebraicMerkleTree.from_leaf_columns(
                 leaf_cols, cap_size, hasher)
+        _mark("tree", *(self.tree.layers[-1] if hasattr(self.tree, "layers")
+                        else ()))
 
     def get_cap(self):
         return self.tree.get_cap()
@@ -237,21 +259,35 @@ def _eval_jit(n):
 
 
 @_functools.lru_cache(maxsize=None)
-def _eval_many_jit(n, widths):
-    """One program: Σ cᵢ·zⁱ for SEVERAL monomial sets, each at its own
-    point — the whole evals-at-z stage in a single dispatch (the per-block
-    loop was ~12 sequential dispatch+download roundtrips over the tunnel)."""
+def _eval_many_at_points_jit(n, widths, point_ids):
+    """One program: Σ cᵢ·zⁱ for SEVERAL monomial sets, each at the opening
+    point ``point_ids[set]`` — the whole evals-at-z stage in a single
+    dispatch.  The power table z^0..z^{n-1} is built ON DEVICE from the
+    runtime 16-byte scalar (an associative scan of ext muls): the previous
+    host-built table was ~1 MB per point over the ~8-10 MB/s tunnel."""
+    import jax.numpy as jnp
 
-    def f(*args):
+    from ..field import extension as ext2
+    from ..field.extension import GL2
+
+    def f(points, *mono_args):
+        pows = []
+        for pi in range(int(np.max(point_ids)) + 1):
+            pt = points[pi]
+            base = GL2(gl.GL(jnp.broadcast_to(pt[0, 0], (n,)),
+                             jnp.broadcast_to(pt[0, 1], (n,))),
+                       gl.GL(jnp.broadcast_to(pt[1, 0], (n,)),
+                             jnp.broadcast_to(pt[1, 1], (n,))))
+            seeded = GL2(
+                gl.GL(base.c0.lo.at[0].set(1), base.c0.hi.at[0].set(0)),
+                gl.GL(base.c1.lo.at[0].set(0), base.c1.hi.at[0].set(0)))
+            pows.append(_jax.lax.associative_scan(ext2.mul, seeded, axis=0))
         outs = []
-        i = 0
-        for _ in widths:
-            mono = gl.GL(args[i], args[i + 1])
-            zp0 = gl.GL(args[i + 2], args[i + 3])
-            zp1 = gl.GL(args[i + 4], args[i + 5])
-            i += 6
-            for zp in (zp0, zp1):
-                prod = gl.mul(mono, gl.GL(zp.lo[:, None], zp.hi[:, None]))
+        for si in range(len(widths)):
+            mono = gl.GL(mono_args[2 * si], mono_args[2 * si + 1])
+            zp = pows[point_ids[si]]
+            for comp in (zp.c0, zp.c1):
+                prod = gl.mul(mono, gl.GL(comp.lo[:, None], comp.hi[:, None]))
                 s = device._sum_gl(prod, axis=0)
                 outs.extend((s.lo, s.hi))
         return tuple(outs)
@@ -259,32 +295,42 @@ def _eval_many_jit(n, widths):
     return _jax.jit(f)
 
 
-def eval_monomial_sets_at(sets) -> list:
-    """sets: list of (monomials GL (n, k), z_pows_host). Returns, per set,
-    the list of k (c0, c1) host-int pairs — all sets evaluated in ONE
-    device dispatch."""
+def eval_monomial_sets_at(sets, extra_fetch=()):
+    """sets: list of (monomials GL (n, k), point) where ``point`` is an ext
+    scalar (c0, c1) of host ints. Returns (results, extra_host): per set the
+    list of k (c0, c1) host-int pairs, plus ``extra_fetch`` device arrays as
+    numpy.  All sets evaluate in ONE dispatch and everything (results +
+    extras) crosses to host in ONE device_get — per-array gets are full
+    tunnel round-trips and cost ~0.8 s/prove here."""
+    import jax
     import jax.numpy as jnp
 
     n = sets[0][0].shape[0]
     widths = tuple(m.shape[1] for (m, _) in sets)
-    dev_points = {}  # upload each distinct point's power table once
+    pts, pt_ids, seen = [], [], {}
+    for (_, point) in sets:
+        key = (int(point[0]) % npgl_ORDER, int(point[1]) % npgl_ORDER)
+        if key not in seen:
+            seen[key] = len(pts)
+            pts.append(key)
+        pt_ids.append(seen[key])
+    pts_arr = np.zeros((len(pts), 2, 2), np.uint32)
+    for i, (c0, c1) in enumerate(pts):
+        pts_arr[i, 0] = (c0 & 0xFFFFFFFF, c0 >> 32)
+        pts_arr[i, 1] = (c1 & 0xFFFFFFFF, c1 >> 32)
     args = []
-    for (m, zp_host) in sets:
-        key = id(zp_host)
-        if key not in dev_points:
-            dev_points[key] = (gl.from_u64(zp_host[0]),
-                               gl.from_u64(zp_host[1]))
-        zp0, zp1 = dev_points[key]
-        args.extend((m.lo, m.hi, zp0.lo, zp0.hi, zp1.lo, zp1.hi))
-    out = _eval_many_jit(n, widths)(*args)
+    for (m, _) in sets:
+        args.extend((m.lo, m.hi))
+    out = _eval_many_at_points_jit(n, widths, tuple(pt_ids))(
+        jnp.asarray(pts_arr), *args)
+    host = jax.device_get(list(out) + list(extra_fetch))
+    extra_host = [np.asarray(a) for a in host[len(out):]]
     results = []
-    i = 0
-    for k in widths:
-        s0l, s0h, s1l, s1h = out[i], out[i + 1], out[i + 2], out[i + 3]
-        i += 4
+    for i in range(0, 4 * len(widths), 4):
+        s0l, s0h, s1l, s1h = host[i], host[i + 1], host[i + 2], host[i + 3]
         r0 = np.asarray(s0l, np.uint64) | (np.asarray(s0h, np.uint64)
                                            << np.uint64(32))
         r1 = np.asarray(s1l, np.uint64) | (np.asarray(s1h, np.uint64)
                                            << np.uint64(32))
-        results.append([(int(r0[j]), int(r1[j])) for j in range(k)])
-    return results
+        results.append([(int(a), int(b)) for a, b in zip(r0, r1)])
+    return results, extra_host
