@@ -264,6 +264,133 @@ def mul(a: GL, b: GL) -> GL:
     return GL(lo, hi)
 
 
+# ----------------------------------------------------------------------------
+# Lazy-reduction ops: values live in [0, 2^64) (any u64 representative of the
+# residue class) instead of canonical [0, p). Mod-p congruence is preserved by
+# every op, so a computation done lazily and canonicalized once at the end is
+# BIT-IDENTICAL to the canonical-everywhere path — at roughly half the VPU op
+# count (the reference's unreduced-representation trick,
+# src/field/goldilocks/mod.rs:472-527, taken to its TPU-native conclusion).
+# Hot consumers: the Poseidon2 permutation (hash/poseidon2.py) and NTT
+# butterflies. NOT valid for comparisons/serialization without canonicalize().
+# ----------------------------------------------------------------------------
+
+
+def add_lazy(a: GL, b: GL) -> GL:
+    """a + b mod p on lazy (any-u64) representatives; output < 2^64.
+
+    s = a + b mod 2^64 with carry c; each 2^64 wrap adds EPSILON
+    (2^64 ≡ EPSILON mod p). The second wrap can only happen when the first
+    correction itself carries, and cannot recur after that."""
+    lo, hi, carry = _add64(a.lo, a.hi, b.lo, b.hi)
+    # first EPSILON fix (EPSILON fits the lo limb)
+    e = carry * U32(EPSILON)
+    lo2 = lo + e
+    c = (lo2 < lo).astype(U32)
+    hi2 = hi + c
+    wrap = (c & (hi2 == 0)).astype(U32)  # hi overflowed past 2^64
+    lo3 = lo2 + wrap * U32(EPSILON)
+    # lo3 cannot wrap again with hi2 == 0 (EPSILON + EPSILON < 2^32? no —
+    # 2*EPSILON wraps; but wrap==1 implies lo2 came from lo + EPSILON with
+    # lo <= EPSILON... keep the exact guard: propagate a carry if it happens)
+    c2 = (lo3 < lo2).astype(U32)
+    return GL(lo3, hi2 + c2)
+
+
+def _reduce128_lazy(x0, x1, x2, x3):
+    """Reduce a 128-bit product to a lazy (< 2^64) representative.
+
+    n ≡ (x1:x0) + x2·EPSILON − x3 (mod p). Cheaper than _reduce128: no
+    final canonicalization, single-pass carry fixes."""
+    # e = x2 * EPSILON = (x2 << 32) - x2 as exact u64 limbs
+    e_lo = U32(0) - x2
+    e_hi = x2 - (x2 != 0).astype(U32)
+    lo, hi, carry = _add64(x0, x1, e_lo, e_hi)
+    # EPSILON fix for the 2^64 wrap (can cascade once)
+    e = carry * U32(EPSILON)
+    lo2 = lo + e
+    c = (lo2 < lo).astype(U32)
+    hi2 = hi + c
+    wrap = (c & (hi2 == 0)).astype(U32)
+    lo3 = lo2 + wrap * U32(EPSILON)
+    c2 = (lo3 < lo2).astype(U32)
+    hi3 = hi2 + c2
+    # subtract x3 (< 2^32); a borrow means we passed below 0, i.e. the true
+    # value gained 2^64 ≡ EPSILON, so subtract EPSILON (cannot re-borrow:
+    # the wrapped value is ≥ 2^64 - 2^32 > EPSILON)
+    slo = lo3 - x3
+    b0 = (lo3 < x3).astype(U32)
+    shi = hi3 - b0
+    borrow = (b0 & (hi3 == 0)).astype(U32)
+    # after a 2^64 borrow the wrapped value is >= 2^64 - 2^32 > EPSILON, so
+    # the 64-bit value cannot go negative again; the lo-limb borrow still
+    # propagates into hi
+    e = borrow * U32(EPSILON)
+    slo2 = slo - e
+    b2 = (slo < e).astype(U32)
+    return slo2, shi - b2
+
+
+def mul_lazy(a: GL, b: GL) -> GL:
+    """a * b mod p on lazy representatives; output < 2^64."""
+    x0, x1, x2, x3 = _mul_wide(a, b)
+    lo, hi = _reduce128_lazy(x0, x1, x2, x3)
+    return GL(lo, hi)
+
+
+def square_lazy(a: GL) -> GL:
+    """a² mod p on lazy representatives: 3 widening muls instead of 4
+    (symmetric cross term doubled)."""
+    hll, lll = _mul32_wide(a.lo, a.lo)
+    hlh, llh = _mul32_wide(a.lo, a.hi)
+    hhh, lhh = _mul32_wide(a.hi, a.hi)
+    # cross = 2 * (lo*hi) as a 65-bit value: (chi:clo, ctop)
+    clo = llh + llh
+    cc = (clo < llh).astype(U32)
+    chi = hlh + hlh + cc
+    ctop = (hlh >> 31)  # bit 64 of the doubled cross term
+    # x = lll + clo·2^32 + (lhh + chi + ctop·2^32? no—ctop goes to x3)·2^64...
+    x0 = lll
+    x1 = hll + clo
+    c1 = (x1 < hll).astype(U32)
+    x2 = lhh + chi
+    c2 = (x2 < lhh).astype(U32)
+    x2 = x2 + c1
+    c3 = (x2 < c1).astype(U32)
+    x3 = hhh + ctop + c2 + c3
+    lo, hi = _reduce128_lazy(x0, x1, x2, x3)
+    return GL(lo, hi)
+
+
+def mul_pow2_lazy(a: GL, s: int) -> GL:
+    """a · 2^s mod p for a static shift 0 <= s < 32, lazy domain."""
+    if s == 0:
+        return a
+    sh = U32(s)
+    inv = U32(32 - s)
+    x0 = a.lo << sh
+    x1 = (a.hi << sh) | (a.lo >> inv)
+    x2 = a.hi >> inv
+    # n ≡ (x1:x0) + x2·EPSILON (mod p), x3 = 0
+    e_lo = U32(0) - x2
+    e_hi = x2 - (x2 != 0).astype(U32)
+    lo, hi, carry = _add64(x0, x1, e_lo, e_hi)
+    e = carry * U32(EPSILON)
+    lo2 = lo + e
+    c = (lo2 < lo).astype(U32)
+    hi2 = hi + c
+    wrap = (c & (hi2 == 0)).astype(U32)
+    lo3 = lo2 + wrap * U32(EPSILON)
+    c2 = (lo3 < lo2).astype(U32)
+    return GL(lo3, hi2 + c2)
+
+
+def canonicalize(a: GL) -> GL:
+    """Map a lazy (< 2^64) representative to canonical [0, p)."""
+    lo, hi = _canonicalize(a.lo, a.hi)
+    return GL(lo, hi)
+
+
 def square(a: GL) -> GL:
     return mul(a, a)
 

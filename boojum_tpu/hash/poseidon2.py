@@ -41,10 +41,12 @@ _DIAG_SHIFTS = C.INNER_DIAGONAL_SHIFTS
 
 
 def _sbox7(x: GL) -> GL:
-    x2 = gl.square(x)
-    x3 = gl.mul(x, x2)
-    x4 = gl.square(x2)
-    return gl.mul(x3, x4)
+    """x^7 on lazy representatives (outputs any-u64; congruent mod p).
+    Safe for canonical callers too — gl.add/gl.mul accept any u64 input."""
+    x2 = gl.square_lazy(x)
+    x3 = gl.mul_lazy(x, x2)
+    x4 = gl.square_lazy(x2)
+    return gl.mul_lazy(x3, x4)
 
 
 def _block_mul4(x0, x1, x2, x3):
@@ -171,40 +173,55 @@ def _permutation_rolled(state: list[GL]) -> list[GL]:
 def _external_mds_stacked(st: GL) -> GL:
     """External MDS on stacked state (12, B) keeping ops on whole blocks:
     view as (3, 4, B); block M4 multiply via the addition chain, then the
-    block-circulant [[2,1,1],[1,2,1],[1,1,2]] combination."""
+    block-circulant [[2,1,1],[1,2,1],[1,1,2]] combination.
+
+    Lazy-domain: inputs/outputs are any-u64 representatives
+    (gl.add_lazy keeps mod-p congruence at ~half the op count)."""
+    _add = gl.add_lazy
+    _dbl = lambda x: gl.add_lazy(x, x)  # noqa: E731
     b = st.reshape(3, 4, -1)
     x0, x1, x2, x3 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    t0 = gl.add(x0, x1)
-    t1 = gl.add(x2, x3)
-    t2 = gl.add(gl.double(x1), t1)
-    t3 = gl.add(gl.double(x3), t0)
-    t4 = gl.add(gl.double(gl.double(t1)), t3)
-    t5 = gl.add(gl.double(gl.double(t0)), t2)
-    t6 = gl.add(t3, t5)
-    t7 = gl.add(t2, t4)
+    t0 = _add(x0, x1)
+    t1 = _add(x2, x3)
+    t2 = _add(_dbl(x1), t1)
+    t3 = _add(_dbl(x3), t0)
+    t4 = _add(_dbl(_dbl(t1)), t3)
+    t5 = _add(_dbl(_dbl(t0)), t2)
+    t6 = _add(t3, t5)
+    t7 = _add(t2, t4)
     blocks = gl.stack([t6, t5, t7, t4], axis=1)  # (3, 4, B)
-    total = gl.add(gl.add(blocks[0], blocks[1]), blocks[2])  # (4, B)
+    total = _add(_add(blocks[0], blocks[1]), blocks[2])  # (4, B)
     # circulant [[2,1,1],[1,2,1],[1,1,2]]: out_i = b_i + (b_0 + b_1 + b_2)
-    out = gl.add(blocks, GL(total.lo[None], total.hi[None]))
+    out = _add(blocks, GL(jnp_bcast(total.lo, blocks.lo.shape),
+                          jnp_bcast(total.hi, blocks.hi.shape)))
     return out.reshape(12, -1)
 
 
+def jnp_bcast(a, shape):
+    import jax.numpy as jnp
+    return jnp.broadcast_to(a[None], shape)
+
+
 def _internal_matrix_stacked(st: GL, shifts=None) -> GL:
+    """Internal (partial-round) matrix on lazy representatives: diag entry
+    2^s + 1 applied as a static shift-reduce (gl.mul_pow2_lazy — ~5x cheaper
+    than the general mul the diagonal was previously paying), plus the
+    broadcast row sum. ``shifts`` is accepted for call compatibility but the
+    static _DIAG_SHIFTS are what get applied."""
     import jax.numpy as jnp
 
-    # log-tree sum along axis 0
-    total = gl.add(gl.add(gl.add(st[0], st[1]), gl.add(st[2], st[3])),
-                   gl.add(gl.add(st[4], st[5]),
-                          gl.add(gl.add(st[6], st[7]),
-                                 gl.add(gl.add(st[8], st[9]),
-                                        gl.add(st[10], st[11])))))
-    if shifts is None:
-        import numpy as np
-        shifts = jnp.asarray(
-            np.asarray([1 << s for s in _DIAG_SHIFTS], np.uint32))
-    scaled = gl.mul(st, GL(shifts[:, None],
-                           jnp.zeros((12, 1), jnp.uint32)))
-    return gl.add(scaled, GL(total.lo[None], total.hi[None]))
+    del shifts
+    # log-tree sum along axis 0 (lazy adds)
+    _add = gl.add_lazy
+    total = _add(_add(_add(st[0], st[1]), _add(st[2], st[3])),
+                 _add(_add(st[4], st[5]),
+                      _add(_add(st[6], st[7]),
+                           _add(_add(st[8], st[9]),
+                                _add(st[10], st[11])))))
+    rows = [gl.mul_pow2_lazy(st[i], _DIAG_SHIFTS[i]) for i in range(12)]
+    scaled = gl.stack(rows, axis=0)
+    return _add(scaled, GL(jnp.broadcast_to(total.lo[None], scaled.lo.shape),
+                           jnp.broadcast_to(total.hi[None], scaled.hi.shape)))
 
 
 def _permutation_stacked(st: GL, tables=None) -> GL:
@@ -226,23 +243,25 @@ def _permutation_stacked(st: GL, tables=None) -> GL:
         rc_lo, rc_hi, shifts = tables
 
     def full_round(r, st):
-        st = gl.add(st, GL(jax.lax.dynamic_slice_in_dim(rc_lo, r, 1, 1),
-                           jax.lax.dynamic_slice_in_dim(rc_hi, r, 1, 1)))
+        st = gl.add_lazy(st, GL(jax.lax.dynamic_slice_in_dim(rc_lo, r, 1, 1),
+                                jax.lax.dynamic_slice_in_dim(rc_hi, r, 1, 1)))
         st = _sbox7(st)
         return _external_mds_stacked(st)
 
     def partial_round(r, st):
         c = GL(jax.lax.dynamic_slice_in_dim(rc_lo[0], r, 1),
                jax.lax.dynamic_slice_in_dim(rc_hi[0], r, 1))
-        row0 = _sbox7(gl.add(st[0], c))
+        row0 = _sbox7(gl.add_lazy(st[0], c))
         st = GL(st.lo.at[0].set(row0.lo), st.hi.at[0].set(row0.hi))
         return _internal_matrix_stacked(st, shifts)
 
+    # the whole permutation runs on lazy (any-u64) representatives; one
+    # canonicalization at the end restores the exact reference output
     st = _external_mds_stacked(st)
     st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)
     st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st)
     st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P, full_round, st)
-    return st
+    return gl.canonicalize(st)
 
 
 # fixed-batch jitted permutation: ONE compiled shape serves all callers

@@ -143,3 +143,76 @@ def test_ext_scalar_ops():
     assert ext.s2_mul(a, ext.s2_inv(a)) == (1, 0)
     # u^2 = 7
     assert ext.s2_mul((0, 1), (0, 1)) == (7, 0)
+
+
+# ---------------------------------------------------------------------------
+# Lazy-reduction ops: any-u64 representatives, congruent mod p, < 2^64 out
+# ---------------------------------------------------------------------------
+
+
+def rand_full_u64(n):
+    """Arbitrary u64 values INCLUDING non-canonical (>= p) representatives."""
+    vals = RNG.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    if n >= 10:
+        vals[:10] = [0, 1, P - 1, P, P + 1, (1 << 64) - 1, (1 << 64) - 2,
+                     0xFFFFFFFF, (1 << 64) - 0xFFFFFFFF,
+                     np.uint64(0xFFFFFFFF00000000)]
+    return vals
+
+
+def _from_raw_u64(x):
+    import jax.numpy as jnp
+    x = np.asarray(x, np.uint64)
+    return gl.GL(jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                 jnp.asarray((x >> np.uint64(32)).astype(np.uint32)))
+
+
+def test_add_lazy_congruence():
+    a = rand_full_u64(4096)
+    b = rand_full_u64(4096)
+    b[:10] = a[:10][::-1].copy()
+    got = gl.to_u64(gl.add_lazy(_from_raw_u64(a), _from_raw_u64(b)))
+    for x, y, g in zip(a, b, got):
+        assert int(g) % P == (int(x) + int(y)) % P
+
+
+def test_mul_lazy_congruence():
+    a = rand_full_u64(4096)
+    b = rand_full_u64(4096)
+    b[:10] = a[:10][::-1].copy()
+    got = gl.to_u64(gl.mul_lazy(_from_raw_u64(a), _from_raw_u64(b)))
+    for x, y, g in zip(a, b, got):
+        assert int(g) % P == (int(x) * int(y)) % P
+
+
+def test_square_lazy_congruence():
+    a = rand_full_u64(4096)
+    got = gl.to_u64(gl.square_lazy(_from_raw_u64(a)))
+    for x, g in zip(a, got):
+        assert int(g) % P == (int(x) * int(x)) % P
+
+
+def test_mul_pow2_lazy_congruence():
+    a = rand_full_u64(2048)
+    for s in (0, 1, 3, 8, 16, 23, 31):
+        got = gl.to_u64(gl.mul_pow2_lazy(_from_raw_u64(a), s))
+        for x, g in zip(a, got):
+            assert int(g) % P == (int(x) << s) % P, (hex(int(x)), s)
+
+
+def test_canonicalize_lazy():
+    a = rand_full_u64(4096)
+    got = gl.to_u64(gl.canonicalize(_from_raw_u64(a)))
+    want = a % np.uint64(P)
+    assert np.array_equal(got, want)
+
+
+def test_canonical_ops_accept_lazy_inputs():
+    a = rand_full_u64(2048)
+    b = rand_full_u64(2048)
+    ga, gb = _from_raw_u64(a), _from_raw_u64(b)
+    add = gl.to_u64(gl.add(ga, gb))
+    mul = gl.to_u64(gl.mul(ga, gb))
+    for x, y, s, m in zip(a, b, add, mul):
+        assert int(s) == (int(x) + int(y)) % P
+        assert int(m) == (int(x) * int(y)) % P

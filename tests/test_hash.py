@@ -167,19 +167,19 @@ def test_blake2s_transcript():
 
 @pytest.mark.slow
 def test_pallas_poseidon2_matches_jnp_interpret():
-    """The Pallas Poseidon2 kernel (TPU tree-hash path) is bit-identical to
-    the jnp reference — interpreter mode so CPU CI covers it. Slow: the
-    unrolled 30-round kernel body compiles for minutes on XLA:CPU (also
-    validated on the real chip by every device-prover byte-equality run)."""
+    """The Pallas Poseidon2 slab kernel (TPU tree-hash path) is bit-identical
+    to the jnp reference — interpreter mode so CPU CI covers it, including
+    the pad-to-FIXED_BATCH path (also validated on the real chip by every
+    device-prover byte-equality run)."""
     import jax
     import numpy as np
 
     from boojum_tpu.field import goldilocks as gl
-    from boojum_tpu.hash.pallas_poseidon2 import TILE, permutation_stacked_pallas
+    from boojum_tpu.hash.pallas_poseidon2 import permutation_stacked_pallas
     from boojum_tpu.hash.poseidon2 import _permutation_stacked
 
     rng = np.random.default_rng(11)
-    b = TILE  # one grid step
+    b = 8192  # pads up to FIXED_BATCH inside the wrapper
     st = gl.from_u64(rng.integers(0, gl.ORDER, (12, b),
                                   dtype=np.uint64).reshape(-1)).reshape(12, b)
     ref = jax.jit(_permutation_stacked)(st)
