@@ -208,12 +208,46 @@ def monomials_from_lde_coset0(evals: GL, log_n: int, lde_factor: int) -> GL:
     return coset_intt_cols(evals, coset, plan)
 
 
+def use_mxu() -> bool:
+    """Route four-step passes of size 128/256 to the MXU matmul stage
+    (mxu_ntt) on TPU backends. Opt out with BOOJUM_MXU_NTT=0."""
+    import os
+
+    import jax
+    if os.environ.get("BOOJUM_MXU_NTT") == "0":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pass_ntt(xv: GL, log_r: int, inverse: bool = False) -> GL:
+    """One four-step pass: transform axis 0 of (2^log_r, M). Dispatches to
+    the MXU matmul stage (128/256), recursive four-step (large), or the VPU
+    butterfly plan."""
+    if use_mxu() and log_r in (7, 8):
+        from .mxu_ntt import ntt_cols_matmul
+        return ntt_cols_matmul(xv, inverse=inverse)
+    if use_mxu() and log_r > 8:
+        return (intt_fourstep_cols if inverse else ntt_fourstep_cols)(xv)
+    plan = get_plan(log_r)
+    return intt_cols(xv, plan) if inverse else ntt_cols(xv, plan)
+
+
+def _fourstep_split(log_n: int) -> int:
+    """log_n1 choice: balanced by default; under MXU prefer radix-256
+    stages (recursion handles the rest)."""
+    if use_mxu() and log_n > 16:
+        return 8
+    return (log_n + 1) // 2
+
+
 def ntt_fourstep_cols(x: GL, log_n1: int = None) -> GL:
     """Forward NTT (natural -> bitreversed) of one LARGE (n, B) batch via the
-    four-step decomposition with jnp passes — both passes are wide
-    column-batched NTTs, so a 2^24-point transform runs at full VPU lane
-    utilization instead of the (n, 1) degenerate layout (and compiles two
-    ~half-depth programs instead of one 24-stage graph).
+    four-step decomposition — both passes are wide column-batched NTTs, so a
+    2^24-point transform runs at full lane utilization instead of the (n, 1)
+    degenerate layout (and compiles two ~half-depth programs instead of one
+    24-stage graph). On TPU the 128/256-point passes run as MXU int8 matmul
+    stages (mxu_ntt) — the reference's one optimized kernel
+    (src/fft/mod.rs:852 MixedGL NTT) maps to the systolic array here.
 
     Same derivation as the Pallas kernel (pallas_ntt.ntt_fourstep): with
     j = j1·n2 + j2, k = k1 + n1·k2 and both passes emitting bitreversed
@@ -222,7 +256,7 @@ def ntt_fourstep_cols(x: GL, log_n1: int = None) -> GL:
     n, b = x.shape
     log_n = n.bit_length() - 1
     if log_n1 is None:
-        log_n1 = (log_n + 1) // 2
+        log_n1 = _fourstep_split(log_n)
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
 
@@ -230,12 +264,12 @@ def ntt_fourstep_cols(x: GL, log_n1: int = None) -> GL:
     tw_lo, tw_hi = _fourstep_twiddles_host(log_n1, log_n2)
 
     xv = x.reshape(n1, n2 * b)
-    s1 = ntt_cols(xv, get_plan(log_n1)).reshape(n1, n2, b)
+    s1 = _pass_ntt(xv, log_n1).reshape(n1, n2, b)
     w = GL(jnp.asarray(tw_lo)[:, :, None], jnp.asarray(tw_hi)[:, :, None])
     s1 = gl.mul(s1, w)
     s1t = GL(jnp.swapaxes(s1.lo, 0, 1).reshape(n2, n1 * b),
              jnp.swapaxes(s1.hi, 0, 1).reshape(n2, n1 * b))
-    s2 = ntt_cols(s1t, get_plan(log_n2)).reshape(n2, n1, b)
+    s2 = _pass_ntt(s1t, log_n2).reshape(n2, n1, b)
     return GL(jnp.swapaxes(s2.lo, 0, 1).reshape(n, b),
               jnp.swapaxes(s2.hi, 0, 1).reshape(n, b))
 
@@ -247,7 +281,7 @@ def intt_fourstep_cols(y: GL, log_n1: int = None) -> GL:
     n, b = y.shape
     log_n = n.bit_length() - 1
     if log_n1 is None:
-        log_n1 = (log_n + 1) // 2
+        log_n1 = _fourstep_split(log_n)
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
 
@@ -262,10 +296,10 @@ def intt_fourstep_cols(y: GL, log_n1: int = None) -> GL:
     yv = y.reshape(n1, n2, b)  # (p1, p2, b)
     s2t = GL(jnp.swapaxes(yv.lo, 0, 1).reshape(n2, n1 * b),
              jnp.swapaxes(yv.hi, 0, 1).reshape(n2, n1 * b))
-    s1t = intt_cols(s2t, get_plan(log_n2)).reshape(n2, n1, b)  # (j2, p1, b)
+    s1t = _pass_ntt(s2t, log_n2, inverse=True).reshape(n2, n1, b)  # (j2, p1, b)
     s1 = GL(jnp.swapaxes(s1t.lo, 0, 1), jnp.swapaxes(s1t.hi, 0, 1))  # (p1, j2, b)
     s1 = gl.mul(s1, wi)
-    x = intt_cols(s1.reshape(n1, n2 * b), get_plan(log_n1))
+    x = _pass_ntt(s1.reshape(n1, n2 * b), log_n1, inverse=True)
     return x.reshape(n, b)
 
 
