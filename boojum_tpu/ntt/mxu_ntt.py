@@ -1,26 +1,28 @@
-"""MXU matmul-NTT: small-radix NTT stages as exact int8 matrix multiplies.
+"""MXU matmul-NTT: small-radix NTT stages as exact f32 matrix multiplies.
 
 Reference analogue: the cache-friendly `MixedGL` NTT (src/fft/mod.rs:852) is
 the reference's one hand-optimized kernel; on TPU the systolic array (MXU) is
 where the FLOPs live, so the radix-R stage becomes a dense twiddle-matrix
 multiply instead of SIMD butterflies.
 
-Exactness scheme (everything integer, no rounding anywhere):
+Exactness scheme (everything integer-valued, no rounding anywhere):
 
 - a radix-R stage (R = 128/256) is Y = W X with W[p, j] = ω_R^{bitrev(p)·j}
   over Goldilocks — identical semantics to `ntt.ntt_cols` at size R;
-- W and X decompose into 8 byte digits; signed int8 inputs are obtained with
-  the ±128 offset trick (d' = d - 128), whose corrections are rank-1:
-  row-sums of W digits (precomputed) and column-sums of X digits (one VPU
-  reduction per digit);
-- digit-pair products accumulate on the MXU in int32
-  (|products| ≤ 128·128² = 2^21 per term, ≤ 8·R·255² < 2^27 per
-  reassembled convolution slot — exact with huge margin);
-- the 15 convolution slots T_k reassemble on the VPU into a 160-bit integer
-  Σ T_k·2^{8k}, folded mod p via 2^64 ≡ 2^32-1, 2^96 ≡ -1, 2^128 ≡ -2^32.
+- W and X decompose into 8 byte digits held in f32 (integers ≤ 255 are
+  exactly representable); digit-pair products accumulate on the MXU in f32:
+  every partial sum ≤ R·255² ≤ 16,646,400 < 2^24, so f32 accumulation is
+  EXACT (verified on-device including the all-255 worst case at K=256;
+  the int8 and bf16 input paths measured ~1000x slower on this backend,
+  while f32 matmul sustains ~180 TFLOP/s);
+- per-(i,j) products convert to int32 (< 2^24, exact) and sum into the 15
+  digit-convolution slots T_k (< 8·R·255² < 2^27, exact in int32);
+- the slots reassemble on the VPU into a 160-bit integer Σ T_k·2^{8k},
+  folded mod p via 2^64 ≡ 2^32-1, 2^96 ≡ -1, 2^128 ≡ -2^32.
 
-The stage slots into the existing four-step recursion (`ntt.ntt_fourstep_cols`)
-so 2^14..2^24-point transforms run 2-3 matmul stages + cross-twiddle VPU muls.
+The stage slots into the existing four-step recursion
+(`ntt.ntt_fourstep_cols`), so 2^14..2^24-point transforms run 2-3 matmul
+stages + cross-twiddle VPU muls.
 """
 
 from __future__ import annotations
@@ -83,17 +85,14 @@ def _w_matrix_u64(log_r: int, inverse: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _w_digit_tables(log_r: int, inverse: bool):
-    """(DIGITS·R, R) int8 stacked offset digits of W + per-digit row sums."""
+def _w_digit_stack_f32(log_r: int, inverse: bool) -> np.ndarray:
+    """(DIGITS·R, R) f32 stacked byte digits of W (digit i at rows iR..)."""
     w = _w_matrix_u64(log_r, inverse)
     r = w.shape[0]
-    digs = np.empty((DIGITS, r, r), np.uint8)
+    digs = np.empty((DIGITS, r, r), np.float32)
     for i in range(DIGITS):
-        digs[i] = ((w >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.uint8)
-    rowsums = digs.astype(np.int64).sum(axis=2)  # (DIGITS, R) true digit sums
-    signed = (digs.astype(np.int16) - 128).astype(np.int8)
-    stacked = signed.reshape(DIGITS * r, r)
-    return stacked, rowsums.astype(np.int32)
+        digs[i] = ((w >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.float32)
+    return digs.reshape(DIGITS * r, r)
 
 
 def _fold160(v0, v1, v2, v3, v4) -> GL:
@@ -150,9 +149,6 @@ def _recombine_slots(slots) -> GL:
                 break
             cur = carry
             w += 1
-            # stop early when no further carry is possible
-            if not isinstance(cur, jnp.ndarray):
-                break
         return out
 
     for k in range(SLOTS):
@@ -169,36 +165,25 @@ def _recombine_slots(slots) -> GL:
 
 @functools.lru_cache(maxsize=None)
 def _stage_jit(log_r: int, m: int, inverse: bool):
-    """One radix-R NTT stage on (R, M) GL columns via MXU matmuls."""
+    """One radix-R NTT stage on (R, M) GL columns via an MXU f32 matmul."""
     r = 1 << log_r
 
     def f(lo, hi):
-        w_stacked, w_rowsums = _w_digit_tables(log_r, inverse)
-        wd = jnp.asarray(w_stacked)  # (8R, R) int8
-        # X digits, offset to int8
+        wd = jnp.asarray(_w_digit_stack_f32(log_r, inverse))  # (8R, R) f32
+        # X byte digits as f32, concatenated along M: (R, 8M)
         xd = []
         for i in range(DIGITS):
             limb = lo if i < 4 else hi
             sh = 8 * (i % 4)
-            b = (limb >> sh).astype(jnp.uint8) if sh else limb.astype(jnp.uint8)
-            xd.append(b)
-        # column sums of TRUE X digits (for the W-offset correction)
-        xcs = [d.astype(jnp.int32).sum(axis=0) for d in xd]  # (M,) each
-        # signed offset digits d-128: flip the top bit and BITCAST (astype
-        # would value-convert; the flipped bit pattern IS d-128 in int8)
-        xds = [jax.lax.bitcast_convert_type(d ^ jnp.uint8(0x80), jnp.int8)
-               for d in xd]
-
-        # per X-digit matmul against all stacked W digits: (8R, M) int32
-        prods = [
-            jax.lax.dot_general(
-                wd, xds[j],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            for j in range(DIGITS)
-        ]
-
-        rs = jnp.asarray(w_rowsums)  # (8, R) int32 true W digit row sums
+            b = (limb >> sh) & U32(0xFF) if sh else limb & U32(0xFF)
+            xd.append(b.astype(jnp.float32))
+        xs = jnp.concatenate(xd, axis=1)  # (R, 8M)
+        # ONE exact f32 matmul: every partial sum ≤ R·255² < 2^24
+        prod = jax.lax.dot_general(
+            wd, xs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (8R, 8M)
+        # int32 view (exact: every entry < 2^24), sliced per digit pair
+        pi = prod.astype(jnp.int32)
         slots = []
         for k in range(SLOTS):
             acc = None
@@ -206,18 +191,8 @@ def _stage_jit(log_r: int, m: int, inverse: bool):
                 j = k - i
                 if not (0 <= j < DIGITS):
                     continue
-                # true W_i X_j = P + 128·(colsum_j' ) ... derive exactly:
-                # W_i X_j = (W_i'+128)(X_j'+128)
-                #         = P_ij + 128·colsum(X_j') + 128·rowsum(W_i') + 128²·R
-                # with rowsum(W_i') = rowsum(W_i) - 128R and
-                #      colsum(X_j') = colsum(X_j) - 128R:
-                # W_i X_j = P_ij + 128·colsum(X_j) + 128·rowsum(W_i) - 128²·R
-                p_ij = prods[j][i * r:(i + 1) * r]
-                term = (p_ij
-                        + 128 * xcs[j][None, :]
-                        + 128 * rs[i][:, None]
-                        - (128 * 128 * r))
-                acc = term if acc is None else acc + term
+                p_ij = pi[i * r:(i + 1) * r, j * m:(j + 1) * m]
+                acc = p_ij if acc is None else acc + p_ij
             slots.append(acc)
         out = _recombine_slots(slots)
         out = gl.canonicalize(out)
@@ -226,11 +201,112 @@ def _stage_jit(log_r: int, m: int, inverse: bool):
     return jax.jit(f)
 
 
-def ntt_cols_matmul(x: GL, inverse: bool = False) -> GL:
+# ---------------------------------------------------------------------------
+# Fused Pallas stage: the digit-product tensor is 64x the input, so the
+# jnp-dot formulation above round-trips ~8 GB of HBM per big pass and LOSES
+# to the VPU butterflies. The fused kernel keeps the per-tile products and
+# the 160-bit accumulator words in VMEM: HBM traffic = input + output only,
+# and the MXU runs at its measured ~180 TFLOP/s f32 marginal rate.
+# ---------------------------------------------------------------------------
+
+TILE_M = 256  # lanes per grid step
+
+
+def _mxu_kernel(log_r: int, inverse: bool):
+    r = 1 << log_r
+
+    def kernel(w_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        tm = lo_ref.shape[1]
+        # 160-bit accumulator words v0..v4 for Σ T_k·2^{8k}
+        v = [jnp.zeros((r, tm), U32) for _ in range(5)]
+
+        def add_at(v, word, val):
+            out = list(v)
+            cur = val
+            w = word
+            while w < 5:
+                s = out[w] + cur
+                carry = (s < out[w]).astype(U32)
+                out[w] = s
+                if w + 1 >= 5:
+                    break
+                cur = carry
+                w += 1
+            return out
+
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        for j in range(DIGITS):
+            limb = lo if j < 4 else hi
+            sh = 8 * (j % 4)
+            d = (limb >> sh) & U32(0xFF) if sh else limb & U32(0xFF)
+            # Mosaic has no u32->f32 cast; bitcast to i32 (values < 2^8)
+            dj = jax.lax.bitcast_convert_type(d, jnp.int32).astype(jnp.float32)
+            # (8R, R) @ (R, TM) on the MXU — exact (partial sums < 2^24)
+            p = jax.lax.dot_general(
+                w_ref[:], dj, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pi = p.astype(jnp.int32)
+            for i in range(DIGITS):
+                # < 2^24 and non-negative: bitcast i32 -> u32 is exact
+                t = jax.lax.bitcast_convert_type(pi[i * r:(i + 1) * r], U32)
+                k = i + j
+                word, off = divmod(8 * k, 32)
+                v = add_at(v, word, t << off if off else t)
+                if off:
+                    hi_part = t >> (32 - off)
+                    if word + 1 < 5:
+                        v = add_at(v, word + 1, hi_part)
+        out = gl.canonicalize(_fold160(*v))
+        out_lo_ref[:] = out.lo
+        out_hi_ref[:] = out.hi
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_pallas_jit(log_r: int, m: int, inverse: bool, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = 1 << log_r
+    assert m % TILE_M == 0
+    grid = (m // TILE_M,)
+    w_spec = pl.BlockSpec((DIGITS * r, r), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((r, TILE_M), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    kernel = _mxu_kernel(log_r, inverse)
+
+    def f(lo, hi):
+        w = jnp.asarray(_w_digit_stack_f32(log_r, inverse))
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((r, m), jnp.uint32),
+                       jax.ShapeDtypeStruct((r, m), jnp.uint32)),
+            grid=grid,
+            in_specs=[w_spec, spec, spec],
+            out_specs=(spec, spec),
+            interpret=interpret,
+        )(w, lo, hi)
+
+    return jax.jit(f)
+
+
+def ntt_cols_matmul(x: GL, inverse: bool = False, interpret: bool = False,
+                    fused: bool = None) -> GL:
     """NTT along axis 0 of (R, M) via the MXU stage; exact, bit-identical to
-    `ntt.ntt_cols(x, plan)` / `ntt.intt_cols` at the same size (tested)."""
+    `ntt.ntt_cols(x, plan)` / `ntt.intt_cols` at the same size (tested).
+
+    fused=True (default on TPU) runs the Pallas VMEM kernel; fused=False is
+    the jnp-dot reference formulation."""
     r, m = x.shape
     log_r = r.bit_length() - 1
     assert 1 << log_r == r
-    lo, hi = _stage_jit(log_r, m, inverse)(x.lo, x.hi)
+    if fused is None:
+        fused = jax.default_backend() not in ("cpu",)
+    if fused and m % TILE_M == 0:
+        lo, hi = _stage_pallas_jit(log_r, m, inverse, interpret)(x.lo, x.hi)
+    else:
+        lo, hi = _stage_jit(log_r, m, inverse)(x.lo, x.hi)
     return GL(lo, hi)
