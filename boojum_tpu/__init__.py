@@ -19,4 +19,7 @@ def enable_persistent_compilation_cache(path: str = None):
                                 "boojum_jax")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING: the prover dispatches ~100+ small jits that each
+    # recompile in ~0.45 s per process when below the default threshold —
+    # that alone was ~1 min of every cold start
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

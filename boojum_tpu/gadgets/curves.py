@@ -206,3 +206,132 @@ class SWAffinePointExt(SWAffinePoint):
 
 def _pt(p: SWAffinePoint):
     return (p.x, p.y)
+
+
+class SWProjectivePoint:
+    """Short-Weierstrass point in projective coordinates (X : Y : Z) with a
+    COMPLETE addition law — the identity (0 : 1 : 0), P + (−P), 0·G and
+    doubling collisions are all handled structurally, with no witness-inverse
+    escape hatches.
+
+    Reference behavior: src/gadgets/curves/sw_projective/mod.rs:1-519
+    (zeroable projective coordinates, convert_to_affine_or_default). The
+    formulas are Renes-Costello-Batina 2015 Algorithm 1 (complete addition
+    for prime-order SW curves, general ``a``, using b3 = 3b) — every input
+    pair takes the same constraint path, so adversarial witnesses cannot
+    steer the circuit onto an unconstrained branch."""
+
+    def __init__(self, x: NonNativeField, y: NonNativeField,
+                 z: NonNativeField, a: int, b: int):
+        self.x, self.y, self.z = x, y, z
+        self.a, self.b = a, b
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_affine(cls, pt: SWAffinePoint) -> "SWProjectivePoint":
+        one = NonNativeField.constant(pt.x.cs, pt.x.params, 1, pt.x.table_ids)
+        return cls(pt.x, pt.y, one, pt.a, pt.b)
+
+    @classmethod
+    def zero(cls, cs: ConstraintSystem, params: NonNativeParams, a: int,
+             b: int, table_ids=None) -> "SWProjectivePoint":
+        return cls(NonNativeField.constant(cs, params, 0, table_ids),
+                   NonNativeField.constant(cs, params, 1, table_ids),
+                   NonNativeField.constant(cs, params, 0, table_ids), a, b)
+
+    def _const(self, v: int) -> NonNativeField:
+        return NonNativeField.constant(self.x.cs, self.x.params,
+                                       v % self.x.params.modulus,
+                                       self.x.table_ids)
+
+    # -- group law -----------------------------------------------------------
+
+    def add(self, other: "SWProjectivePoint") -> "SWProjectivePoint":
+        """Complete addition (RCB15 Algorithm 1); works for EVERY input pair
+        including P == Q, P == -Q and either operand being the identity."""
+        a = self.a
+        b3 = (3 * self.b) % self.x.params.modulus
+        X1, Y1, Z1 = self.x, self.y, self.z
+        X2, Y2, Z2 = other.x, other.y, other.z
+
+        t0 = X1.mul(X2)
+        t1 = Y1.mul(Y2)
+        t2 = Z1.mul(Z2)
+        t3 = X1.add(Y1).mul(X2.add(Y2)).sub(t0).sub(t1)  # X1Y2 + X2Y1
+        t4 = X1.add(Z1).mul(X2.add(Z2)).sub(t0).sub(t2)  # X1Z2 + X2Z1
+        t5 = Y1.add(Z1).mul(Y2.add(Z2)).sub(t1).sub(t2)  # Y1Z2 + Y2Z1
+
+        def amul(v):
+            return v.mul(self._const(a)) if a else \
+                NonNativeField.constant(v.cs, v.params, 0, v.table_ids)
+
+        z3 = amul(t4).add(t2.mul(self._const(b3)))
+        x3 = t1.sub(z3)
+        z3 = t1.add(z3)
+        y3 = x3.mul(z3)
+        t1n = t0.double().add(t0)                 # 3·X1X2
+        t2a = amul(t2)
+        t4b = t4.mul(self._const(b3))
+        t1n = t1n.add(t2a)
+        t2d = t0.sub(t2a)
+        t2d = amul(t2d)
+        t4b = t4b.add(t2d)
+        t0n = t1n.mul(t4b)
+        Y3 = y3.add(t0n)
+        t0n = t5.mul(t4b)
+        X3 = t3.mul(x3).sub(t0n)
+        Z3 = t5.mul(z3).add(t3.mul(t1n))
+        return SWProjectivePoint(X3, Y3, Z3, self.a, self.b)
+
+    def double(self) -> "SWProjectivePoint":
+        return self.add(self)
+
+    def negate(self) -> "SWProjectivePoint":
+        return SWProjectivePoint(self.x, self.y.neg(), self.z,
+                                 self.a, self.b)
+
+    def select(self, flag_var, other: "SWProjectivePoint"):
+        """flag ? self : other (limbwise)."""
+        return SWProjectivePoint(
+            NonNativeField.select(flag_var, self.x, other.x),
+            NonNativeField.select(flag_var, self.y, other.y),
+            NonNativeField.select(flag_var, self.z, other.z),
+            self.a, self.b)
+
+    # -- scalar multiplication ------------------------------------------------
+
+    def mul_by_scalar_bits(self, bits: list) -> "SWProjectivePoint":
+        """Double-and-add, LSB-first bit variables. The accumulator starts
+        at the identity and every step uses the complete law, so zero
+        scalars, order-multiple scalars and doubling collisions are all fine
+        (reference sw_projective ladder capabilities)."""
+        cs = self.x.cs
+        acc = SWProjectivePoint.zero(cs, self.x.params, self.a, self.b,
+                                     self.x.table_ids)
+        base = self
+        for bit in reversed(bits):
+            acc = acc.double()
+            added = acc.add(base)
+            acc = added.select(bit, acc)
+        return acc
+
+    # -- conversions -----------------------------------------------------------
+
+    def is_zero(self):
+        """Boolean variable: Z == 0 (the identity)."""
+        return self.z.is_zero()
+
+    def convert_to_affine_or_default(self, default_xy: tuple):
+        """(X/Z, Y/Z) for finite points, the host constant ``default_xy``
+        for the identity (reference convert_to_affine_or_default). Returns
+        (SWAffinePoint, is_infinity boolean var)."""
+        flag = self.z.is_zero()
+        zinv = self.z.allocate_inverse_or_zero()
+        x_aff = self.x.mul(zinv)
+        y_aff = self.y.mul(zinv)
+        dx = self._const(default_xy[0] % self.x.params.modulus)
+        dy = self._const(default_xy[1] % self.x.params.modulus)
+        x_out = NonNativeField.select(flag, dx, x_aff)
+        y_out = NonNativeField.select(flag, dy, y_aff)
+        return SWAffinePoint(x_out, y_out, self.a, self.b), flag

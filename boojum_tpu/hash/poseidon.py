@@ -73,6 +73,53 @@ def permutation_gl(state: GL) -> GL:
     return gl.stack(out, axis=0)
 
 
+def _permutation_rolled_gl(st: GL) -> GL:
+    """Rolled stacked permutation on (12, B): rounds ride lax.fori_loop with
+    constants indexed per round, MDS rows are lazy shift-reduce sums (the
+    circulant entries are powers of two). ~10x smaller traced graph than the
+    unrolled form (which compiles pathologically on XLA:CPU when embedded in
+    outer scans, e.g. the device transcript); bit-identical output."""
+    import jax
+    import jax.numpy as jnp
+
+    from .poseidon2 import _rc_tables
+
+    rc_lo, rc_hi = _rc_tables()
+    rc_lo_t, rc_hi_t = rc_lo.T, rc_hi.T  # (12, 30)
+
+    def mds_lazy(el):
+        out = []
+        for r in range(12):
+            acc = None
+            for c in range(12):
+                t = gl.mul_pow2_lazy(el[c], _EXPS[(12 - r + c) % 12])
+                acc = t if acc is None else gl.add_lazy(acc, t)
+            out.append(acc)
+        return out
+
+    def add_rc(r, st):
+        return gl.add_lazy(
+            st, GL(jax.lax.dynamic_slice_in_dim(rc_lo_t, r, 1, 1),
+                   jax.lax.dynamic_slice_in_dim(rc_hi_t, r, 1, 1)))
+
+    def full_round(r, st):
+        st = add_rc(r, st)
+        st = _sbox7(st)
+        return gl.stack(mds_lazy([st[i] for i in range(12)]), axis=0)
+
+    def partial_round(r, st):
+        st = add_rc(r, st)
+        row0 = _sbox7(st[0])
+        el = [row0] + [st[i] for i in range(1, 12)]
+        return gl.stack(mds_lazy(el), axis=0)
+
+    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)
+    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st)
+    st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P,
+                           full_round, st)
+    return gl.canonicalize(st)
+
+
 # ----------------------------------------------------------------------------
 # Exact scalar twin
 # ----------------------------------------------------------------------------

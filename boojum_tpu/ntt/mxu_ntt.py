@@ -293,20 +293,41 @@ def _stage_pallas_jit(log_r: int, m: int, inverse: bool, interpret: bool):
     return jax.jit(f)
 
 
+# fixed M per kernel call: every radix shares ONE compiled Mosaic program
+# regardless of batch width (each extra pallas shape costs ~4-5 s of cold
+# start even on a persistent-cache hit — server-side load)
+FIXED_M = 1 << 14
+
+
 def ntt_cols_matmul(x: GL, inverse: bool = False, interpret: bool = False,
                     fused: bool = None) -> GL:
     """NTT along axis 0 of (R, M) via the MXU stage; exact, bit-identical to
     `ntt.ntt_cols(x, plan)` / `ntt.intt_cols` at the same size (tested).
 
-    fused=True (default on TPU) runs the Pallas VMEM kernel; fused=False is
-    the jnp-dot reference formulation."""
+    fused=True (default on TPU) runs the Pallas VMEM kernel, chunking M to
+    FIXED_M so one compiled kernel per radix serves every call site;
+    fused=False is the jnp-dot reference formulation."""
     r, m = x.shape
     log_r = r.bit_length() - 1
     assert 1 << log_r == r
     if fused is None:
         fused = jax.default_backend() not in ("cpu",)
-    if fused and m % TILE_M == 0:
-        lo, hi = _stage_pallas_jit(log_r, m, inverse, interpret)(x.lo, x.hi)
-    else:
+    if not fused or m % TILE_M:
         lo, hi = _stage_jit(log_r, m, inverse)(x.lo, x.hi)
-    return GL(lo, hi)
+        return GL(lo, hi)
+    if m <= FIXED_M:
+        mp = m
+        if m < FIXED_M and m > FIXED_M // 4:
+            mp = FIXED_M  # pad mid sizes onto the shared kernel
+            x = GL(jnp.pad(x.lo, ((0, 0), (0, mp - m))),
+                   jnp.pad(x.hi, ((0, 0), (0, mp - m))))
+        lo, hi = _stage_pallas_jit(log_r, mp, inverse, interpret)(x.lo, x.hi)
+        return GL(lo[:, :m], hi[:, :m])
+    los, his = [], []
+    for start in range(0, m, FIXED_M):
+        chunk = GL(x.lo[:, start:start + FIXED_M],
+                   x.hi[:, start:start + FIXED_M])
+        out = ntt_cols_matmul(chunk, inverse, interpret, fused=True)
+        los.append(out.lo)
+        his.append(out.hi)
+    return GL(jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1))

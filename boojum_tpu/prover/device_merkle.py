@@ -288,6 +288,25 @@ def _fri_leaf_cols_jit(size: int, elems_per_leaf: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _final_interp_jit(m: int, final_degree: int, coset: int):
+    """Device FRI final interpolation: bitreversed coset evals (m,) ->
+    monomials; returns the degree-truncated absorb slices + full arrays."""
+    plan = ntt.get_plan(m.bit_length() - 1)
+
+    def f(c0l, c0h, c1l, c1h):
+        mono0 = ntt.coset_intt_cols(GL(c0l[:, None], c0h[:, None]),
+                                    coset, plan)
+        mono1 = ntt.coset_intt_cols(GL(c1l[:, None], c1h[:, None]),
+                                    coset, plan)
+        return (mono0.lo[:final_degree, 0], mono0.hi[:final_degree, 0],
+                mono1.lo[:final_degree, 0], mono1.hi[:final_degree, 0],
+                mono0.lo[:, 0], mono0.hi[:, 0],
+                mono1.lo[:, 0], mono1.hi[:, 0])
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
 def _inverse_roots_dev(full_size):
     """Device copy of the bitreversed inverse-root table — prove-invariant
     (host build + ~4 MB upload per prove otherwise)."""
@@ -339,25 +358,40 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
             tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
         return DeviceFlatOracle(cur0, cur1, 1 << k, tree)
 
+    is_dev_ts = getattr(transcript, "IS_DEVICE", False)
+
+    def absorb_cap(oracle):
+        if is_dev_ts:
+            from ..field.goldilocks import GL as _GL
+            transcript.witness_merkle_tree_cap_dev(
+                _GL(*oracle.tree.layers[-1]))
+        else:
+            transcript.witness_merkle_tree_cap(oracle.get_cap())
+
     def challenge_tables(k):
         """(k, 2, 2) challenge-squaring chain + (k, 2) coset-inv chain for
         the next fold; advances the cross-stage coset_inv chain."""
         nonlocal coset_inv
+        cosets = np.zeros((k, 2), np.uint32)
+        ci = coset_inv
+        for j in range(k):
+            cosets[j] = _u32x2(ci)
+            ci = ci * ci % ORDER
+        coset_inv = ci
+        if is_dev_ts:
+            from .device_transcript import sq_chain_dev
+            chs = sq_chain_dev(transcript.get_ext_challenge(), k)
+            return chs, jnp.asarray(cosets)
         ch0 = transcript.get_challenge()
         ch1 = transcript.get_challenge()
         chs = np.zeros((k, 2, 2), np.uint32)
-        cosets = np.zeros((k, 2), np.uint32)
         c = (ch0, ch1)
-        ci = coset_inv
         for j in range(k):
             chs[j, 0] = _u32x2(c[0])
             chs[j, 1] = _u32x2(c[1])
-            cosets[j] = _u32x2(ci)
-            ci = ci * ci % ORDER
             # square the ext challenge: (a+bx)² = a²+7b² + 2ab·x
             a, b = c
             c = ((a * a + 7 * b * b) % ORDER, 2 * a * b % ORDER)
-        coset_inv = ci
         return jnp.asarray(chs), jnp.asarray(cosets)
 
     cur0, cur1 = c0, c1
@@ -382,7 +416,7 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
             tree = DeviceTree(list(zip(out[4::2], out[5::2])))
             oracle = DeviceFlatOracle(cur0, cur1, 1 << k, tree)
         _v(f"stage {stage} dispatch")
-        transcript.witness_merkle_tree_cap(oracle.get_cap())
+        absorb_cap(oracle)
         _v(f"stage {stage} cap+absorb")
         if stage == 0:
             result.base_oracle = oracle
@@ -399,6 +433,25 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     cur0, cur1 = GL(o[0], o[1]), GL(o[2], o[3])
     _v("final fold")
 
+    m = int(cur0.lo.shape[0])
+    final_degree = m // lde_factor
+    coset = int(npgl.inv(np.uint64(coset_inv)))
+    if is_dev_ts:
+        # final interpolation stays ON DEVICE so the async chain is unbroken
+        # (the host-int variant below exists for the host-transcript path,
+        # where a sync already happens here anyway)
+        o = _final_interp_jit(m, final_degree, coset)(
+            cur0.lo, cur0.hi, cur1.lo, cur1.hi)
+        transcript.witness_field_elements_dev(o[0], o[1])
+        transcript.witness_field_elements_dev(o[2], o[3])
+        # device handles; prove() fetches them in the final proof batch and
+        # asserts the degree bound there (o[4:] are the FULL coefficient
+        # arrays for that check)
+        result.monomial_forms = None
+        result.monomial_forms_dev = (o[4], o[5], o[6], o[7], final_degree)
+        _v("final interpolation (device)")
+        return result
+
     # final interpolation on host (tiny)
     host = jax.device_get((cur0.lo, cur0.hi, cur1.lo, cur1.hi))
     _v("final download")
@@ -406,9 +459,6 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
         (np.asarray(host[1], np.uint64) << np.uint64(32))
     f1 = np.asarray(host[2], np.uint64) | \
         (np.asarray(host[3], np.uint64) << np.uint64(32))
-    m = f0.shape[0]
-    final_degree = m // lde_factor
-    coset = int(npgl.inv(np.uint64(coset_inv)))
     from .fri import interpolate_final_host
     mono0 = np.asarray(interpolate_final_host(f0, coset), np.uint64)
     mono1 = np.asarray(interpolate_final_host(f1, coset), np.uint64)
@@ -476,15 +526,30 @@ class DeviceTree:
         self._cap_host = None
         self._path_cache = {}
 
+    @staticmethod
+    def _cap_from_host(l, h):
+        arr = np.asarray(l, np.uint64) | \
+            (np.asarray(h, np.uint64) << np.uint64(32))
+        return [tuple(int(arr[i, j]) for i in range(4))
+                for j in range(arr.shape[1])]
+
     def get_cap(self):
         if self._cap_host is None:
             lo, hi = self.layers[-1]
-            l, h = jax.device_get((lo, hi))
-            arr = np.asarray(l, np.uint64) | \
-                (np.asarray(h, np.uint64) << np.uint64(32))
-            self._cap_host = [tuple(int(arr[i, j]) for i in range(4))
-                              for j in range(arr.shape[1])]
+            self._cap_host = self._cap_from_host(*jax.device_get((lo, hi)))
         return self._cap_host
+
+    def prefetch_cap(self, collector: "FetchCollector"):
+        """Ride the cap transfer on a shared batched device_get (the
+        device-transcript path defers every host cap fetch to proof
+        assembly)."""
+        if self._cap_host is not None:
+            return
+
+        def ingest(host):
+            self._cap_host = self._cap_from_host(host[0], host[1])
+
+        collector.add(self.layers[-1], ingest)
 
     def prefetch_proofs(self, leaf_indices, collector: FetchCollector = None):
         """Gather every queried leaf + sibling path in ONE device dispatch;

@@ -202,7 +202,7 @@ class DeviceProver:
     # -- the prove pipeline --------------------------------------------------
 
     def prove(self, transcript_kind="poseidon", hasher="poseidon2",
-              verbose: bool = False) -> Proof:
+              verbose: bool = False, device_transcript: bool = None) -> Proof:
         import sys as _sys
         import time as _time
         import jax.numpy as jnp
@@ -242,8 +242,36 @@ class DeviceProver:
         omega = gl.domain_generator(n.bit_length() - 1)
         num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
 
-        transcript = make_transcript(transcript_kind)
+        # device-resident transcript: challenges stay on device, so the
+        # prove submits as one async chain with only TWO host syncs (the
+        # PoW/query handoff + the final proof fetch) instead of ~10 protocol
+        # syncs at ~31 ms tunnel round-trip each. Byte-identical proofs
+        # (tests/test_prove_verify.py::test_device_transcript_byte_identical).
+        use_dev_ts = (transcript_kind in ("poseidon", "poseidon2")
+                      and self.mesh is None and self.fuse
+                      and hasher == "poseidon2")
+        if device_transcript is not None:
+            assert not (device_transcript and not use_dev_ts), (
+                "device transcript needs an algebraic transcript kind, "
+                "fuse=True, mesh=None and the poseidon2 hasher")
+            use_dev_ts = use_dev_ts and device_transcript
+        if use_dev_ts:
+            from .device_transcript import (DeviceTranscript, ext_mul_dev,
+                                            ext_pow_table_dev)
+            transcript = DeviceTranscript(transcript_kind)
+        else:
+            transcript = make_transcript(transcript_kind)
         transcript.witness_merkle_tree_cap(vk.setup_merkle_tree_cap)
+
+        def absorb_cap(oracle):
+            """Absorb an oracle cap: device layer under the device
+            transcript (no sync), host ints otherwise."""
+            if use_dev_ts and hasattr(oracle.tree, "layers"):
+                transcript.witness_merkle_tree_cap_dev(
+                    GL(*oracle.tree.layers[-1]))
+            else:
+                transcript.witness_merkle_tree_cap(oracle.get_cap())
+
         variables_cols, witness_cols, mult_cols = \
             materialize_witness_columns(cs, n)
         publics = []
@@ -257,24 +285,42 @@ class DeviceProver:
             [variables_cols, witness_cols, mult_cols], axis=0)
         witness_oracle = self._make_oracle(witness_src, used_lde, cap_size,
                                            hasher, tree_lde=fri_lde)
-        transcript.witness_merkle_tree_cap(witness_oracle.get_cap())
+        absorb_cap(witness_oracle)
 
         _stage("witness oracle")
-        beta = _s2(tuple(transcript.get_multiple_challenges(2)))
-        gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
-        lookup_beta = (0, 0)
-        lookup_gamma = (0, 0)
-        if lp.lookup_is_allowed:
-            lookup_beta = _s2(tuple(transcript.get_multiple_challenges(2)))
-            lookup_gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
-        gamma_pows_list = [(1, 0)]
-        for _ in range(self.num_table):
-            gamma_pows_list.append(ext2.s2_mul(gamma_pows_list[-1], lookup_gamma))
+        if use_dev_ts:
+            beta_arr = transcript.get_ext_challenge()
+            gamma_arr = transcript.get_ext_challenge()
+            zero22 = np.zeros((2, 2), np.uint32)
+            lbeta_arr = lgamma_arr = zero22
+            gpow_arr_dev = np.zeros((1, 2, 2), np.uint32)
+            gpow_arr_dev[0, 0, 0] = 1  # gamma^0
+            if lp.lookup_is_allowed:
+                lbeta_arr = transcript.get_ext_challenge()
+                lgamma_arr = transcript.get_ext_challenge()
+                gpow_arr_dev = ext_pow_table_dev(lgamma_arr,
+                                                 self.num_table + 1)
+            beta_a, gamma_a, lbeta_a = beta_arr, gamma_arr, lbeta_arr
+            # per-power list entries are only read by the mesh / non-fused
+            # paths, which the device transcript excludes
+            gpow_a = None
+        else:
+            beta = _s2(tuple(transcript.get_multiple_challenges(2)))
+            gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
+            lookup_beta = (0, 0)
+            lookup_gamma = (0, 0)
+            if lp.lookup_is_allowed:
+                lookup_beta = _s2(tuple(transcript.get_multiple_challenges(2)))
+                lookup_gamma = _s2(tuple(transcript.get_multiple_challenges(2)))
+            gamma_pows_list = [(1, 0)]
+            for _ in range(self.num_table):
+                gamma_pows_list.append(
+                    ext2.s2_mul(gamma_pows_list[-1], lookup_gamma))
 
-        beta_a = scalar_ext(beta)
-        gamma_a = scalar_ext(gamma)
-        lbeta_a = scalar_ext(lookup_beta)
-        gpow_a = [scalar_ext(c) for c in gamma_pows_list]
+            beta_a = scalar_ext(beta)
+            gamma_a = scalar_ext(gamma)
+            lbeta_a = scalar_ext(lookup_beta)
+            gpow_a = [scalar_ext(c) for c in gamma_pows_list]
 
         # -- stage 2+3 on the base domain -----------------------------------
         # base-domain columns are SLICED from the oracles' retained device
@@ -374,7 +420,8 @@ class DeviceProver:
             nrl = jnp.asarray((nr_host & np.uint64(0xFFFFFFFF)).astype(np.uint32))
             nrh = jnp.asarray((nr_host >> np.uint64(32)).astype(np.uint32))
             zero_n = jnp.zeros((n,), jnp.uint32)
-            gpow_arr = jnp.asarray(np.stack(gpow_a))
+            gpow_arr = (gpow_arr_dev if use_dev_ts
+                        else jnp.asarray(np.stack(gpow_a)))
             fused = _stage23_jit(
                 n, self.num_var, qd, num_lookup_subargs, width, pw, base_off,
                 bool(lp.id_in_constant) if lp.lookup_is_allowed else False,
@@ -460,11 +507,12 @@ class DeviceProver:
         stage2_oracle = self._make_oracle(None, used_lde, cap_size, hasher,
                                           tree_lde=fri_lde,
                                           monomials=stage2_monos)
-        transcript.witness_merkle_tree_cap(stage2_oracle.get_cap())
+        absorb_cap(stage2_oracle)
 
         _stage("stage2+3")
         # -- alphas -----------------------------------------------------------
-        alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
+        if not use_dev_ts:
+            alpha = _s2(tuple(transcript.get_multiple_challenges(2)))
         total_lookup_terms = num_lookup_subargs + self.num_mult
         total_specialized_terms = sum(
             cs.evaluators_specialized[cs.specialized_idx_by_name[nm]]
@@ -475,10 +523,21 @@ class DeviceProver:
             for ev in cs.evaluators_general)
         total_terms = (total_lookup_terms + total_specialized_terms
                        + total_general_terms + 2 + self.num_intermediates)
-        alpha_pows = [(1, 0)]
-        for _ in range(total_terms - 1):
-            alpha_pows.append(ext2.s2_mul(alpha_pows[-1], alpha))
-        alpha_arrs = [scalar_ext(a) for a in alpha_pows]
+        if use_dev_ts:
+            alpha_table = ext_pow_table_dev(transcript.get_ext_challenge(),
+                                            total_terms)
+            alpha_arrs = [alpha_table[i] for i in range(total_terms)]
+
+            def alpha_slice(start, count):
+                return alpha_table[start:start + count]
+        else:
+            alpha_pows = [(1, 0)]
+            for _ in range(total_terms - 1):
+                alpha_pows.append(ext2.s2_mul(alpha_pows[-1], alpha))
+            alpha_arrs = [scalar_ext(a) for a in alpha_pows]
+
+            def alpha_slice(start, count):
+                return jnp.asarray(np.stack(alpha_arrs[start:start + count]))
         ai = 0
 
         # -- quotient over the (qd·n) flat LDE --------------------------------
@@ -524,15 +583,15 @@ class DeviceProver:
                     self.num_var + self.num_const,
                     self.num_var + self.num_wit)
                 n_lk = num_lookup_subargs + 1
-                lk_alphas = jnp.asarray(
-                    np.stack(alpha_arrs[ai:ai + n_lk]))
+                lk_alphas = alpha_slice(ai, n_lk)
                 zero_s = jnp.zeros((size,), jnp.uint32)
                 out = lk(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                          g2_flat.lo, g2_flat.hi,
                          sel_flat[0] if sel_flat is not None else zero_s,
                          sel_flat[1] if sel_flat is not None else zero_s,
                          jnp.asarray(lbeta_a),
-                         jnp.asarray(np.stack(gpow_a)), lk_alphas)
+                         gpow_arr_dev if use_dev_ts
+                         else jnp.asarray(np.stack(gpow_a)), lk_alphas)
                 acc = acc + EV(*out)
                 ai += n_lk
             else:
@@ -604,7 +663,7 @@ class DeviceProver:
             if self.fuse:
                 sweep = self._gate_sweep_fn(sev, sreps, 0, 0, 0, 0,
                                             spec_base=base)
-                al = jnp.asarray(np.stack(alpha_arrs[ai:ai + n_terms]))
+                al = alpha_slice(ai, n_terms)
                 out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                             ones_s.lo, ones_s.hi, al)
                 acc = acc + EV(*out)
@@ -632,7 +691,7 @@ class DeviceProver:
                 sweep = self._gate_sweep_fn(
                     ev, reps, len(path), 0, self.num_var,
                     self.num_var + len(path))
-                al = jnp.asarray(np.stack(alpha_arrs[ai:ai + n_terms]))
+                al = alpha_slice(ai, n_terms)
                 out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                             sel[0], sel[1], al)
                 acc = acc + EV(*out)
@@ -692,8 +751,7 @@ class DeviceProver:
             nrh = jnp.asarray((nr_host >> np.uint64(32)).astype(np.uint32))
             cp = _copyperm_quotient_jit(size, n, qd, self.num_var,
                                         self.num_intermediates)
-            cp_alphas = jnp.asarray(
-                np.stack(alpha_arrs[ai:ai + 1 + num_rel]))
+            cp_alphas = alpha_slice(ai, 1 + num_rel)
             out = cp(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                      x_lde.lo, x_lde.hi, nrl, nrh,
                      g2_flat.lo, g2_flat.hi,
@@ -767,96 +825,156 @@ class DeviceProver:
         q_monos = GL(jnp.stack(qcols_lo, axis=1), jnp.stack(qcols_hi, axis=1))
         quotient_oracle = self._make_oracle(None, fri_lde, cap_size, hasher,
                                             monomials=q_monos)
-        transcript.witness_merkle_tree_cap(quotient_oracle.get_cap())
+        absorb_cap(quotient_oracle)
 
         _stage("quotient")
         # -- evaluations at z -------------------------------------------------
-        z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
-        zw = ext2.s2_mul(z_pt, (omega, 0))
-        s2_row0_host = None
-        if self.mesh is None:
-            from .oracles import eval_monomial_sets_at
-            s2m = stage2_oracle.monomials
-            extra = ((s2m.lo[0], s2m.hi[0]) if lp.lookup_is_allowed else ())
-            (ev_w, ev_s, ev_2, ev_q, ev_zw), extra_host = \
-                eval_monomial_sets_at([
-                    (witness_oracle.monomials, z_pt),
-                    (setup_oracle.monomials, z_pt),
-                    (s2m, z_pt),
-                    (quotient_oracle.monomials, z_pt),
-                    (GL(s2m.lo[:, :2], s2m.hi[:, :2]), zw),
-                ], extra_fetch=extra)
-            if lp.lookup_is_allowed:
-                s2_row0_host = (extra_host[0].astype(np.uint64) |
-                                (extra_host[1].astype(np.uint64)
-                                 << np.uint64(32)))
-        else:
-            z_pows = npgl.ext_powers(z_pt, n)
-            zw_pows = npgl.ext_powers(zw, n)
-            ev_w = witness_oracle.eval_monomials_at(z_pows)
-            ev_s = setup_oracle.eval_monomials_at(z_pows)
-            ev_2 = stage2_oracle.eval_monomials_at(z_pows)
-            ev_q = quotient_oracle.eval_monomials_at(z_pows)
-            ev_zw = stage2_oracle.eval_monomials_at(zw_pows)[:2]
-
-        def pair(evals, i):
-            f0, f1 = evals[2 * i], evals[2 * i + 1]
-            return ((f0[0] + 7 * f1[1]) % P, (f0[1] + f1[0]) % P)
-
         nv, nw, nm, nc, nt = (self.num_var, self.num_wit, self.num_mult,
                               self.num_const, self.num_table)
-        values_at_z = []
-        values_at_z.extend(ev_w[:nv + nw])
-        values_at_z.extend(ev_s[nv:nv + nc])
-        values_at_z.extend(ev_s[:nv])
-        values_at_z.append(pair(ev_2, 0))
-        for i in range(self.num_intermediates):
-            values_at_z.append(pair(ev_2, 1 + i))
-        if lp.lookup_is_allowed:
-            values_at_z.extend(ev_w[nv + nw:nv + nw + nm])
-            a_base = 1 + self.num_intermediates
-            for i in range(num_lookup_subargs):
-                values_at_z.append(pair(ev_2, a_base + i))
-            values_at_z.append(pair(ev_2, a_base + num_lookup_subargs))
-            values_at_z.extend(ev_s[nv + nc:nv + nc + nt])
-        for k in range(qd):
-            values_at_z.append(pair(ev_q, k))
-        for v in values_at_z:
-            transcript.witness_field_elements([v[0], v[1]])
-
-        values_at_z_omega = [pair(ev_zw, 0)]
-        transcript.witness_field_elements([values_at_z_omega[0][0],
-                                           values_at_z_omega[0][1]])
-
-        values_at_0 = []
-        if lp.lookup_is_allowed:
-            if s2_row0_host is not None:
-                row0 = s2_row0_host  # rode the evals-at-z device_get
+        s2m = stage2_oracle.monomials
+        vz_dev = vzw_dev = v0_dev = None
+        if use_dev_ts:
+            z_arr = transcript.get_ext_challenge()
+            ni = self.num_intermediates
+            n_at0 = (num_lookup_subargs + 1) if lp.lookup_is_allowed else 0
+            # public-opening tables (host, static per witness)
+            pub_tuples_d = {}
+            for (c_, r_, value) in publics:
+                open_at = pow(omega, r_, P)
+                pub_tuples_d.setdefault(open_at, []).append((c_, value))
+            pub_vals_list = [(v, 0) for subset in pub_tuples_d.values()
+                             for (_, v) in subset]
+            pub_vals_np = (np.stack([scalar_ext(v) for v in pub_vals_list])
+                           if pub_vals_list
+                           else np.zeros((0, 2, 2), np.uint32))
+            pub_pts_np = (np.stack([scalar_ext((p, 0))
+                                    for p in pub_tuples_d])
+                          if pub_tuples_d
+                          else np.zeros((0, 2, 2), np.uint32))
+            sets = [witness_oracle.monomials, setup_oracle.monomials, s2m,
+                    quotient_oracle.monomials,
+                    GL(s2m.lo[:, :2], s2m.hi[:, :2])]
+            widths = tuple(m_.shape[1] for m_ in sets)
+            args = []
+            for m_ in sets:
+                args.extend((m_.lo, m_.hi))
+            out = _evals_deep_prep_jit(
+                n, widths, omega, nv, nw, nm, nc, nt, ni,
+                num_lookup_subargs, qd, lp.lookup_is_allowed,
+                len(pub_vals_list), len(pub_tuples_d))(
+                    z_arr, pub_vals_np, pub_pts_np, *args)
+            vz_dev = (GL(out[0], out[1]), GL(out[2], out[3]))
+            vzw_dev = (GL(out[4], out[5]), GL(out[6], out[7]))
+            k_ = 8
+            if lp.lookup_is_allowed:
+                v0_dev = (GL(out[8], out[9]), GL(out[10], out[11]))
+                k_ = 12
+            val_flat_dev = out[k_]
+            pts_arr_dev = out[k_ + 1]
+            # absorb streams (same order as the host path)
+            transcript.absorb_interleaved_dev(
+                vz_dev[0].lo, vz_dev[0].hi, vz_dev[1].lo, vz_dev[1].hi)
+            transcript.absorb_interleaved_dev(
+                vzw_dev[0].lo, vzw_dev[0].hi, vzw_dev[1].lo, vzw_dev[1].hi)
+            if v0_dev is not None:
+                transcript.absorb_interleaved_dev(
+                    v0_dev[0].lo, v0_dev[0].hi, v0_dev[1].lo, v0_dev[1].hi)
+            # placeholder host lists (sizes only); real values fetched in the
+            # final batched proof fetch
+            total_z = int(vz_dev[0].shape[0])
+            values_at_z = [None] * total_z
+            values_at_z_omega = [None]
+            values_at_0 = [None] * n_at0
+        else:
+            z_pt = _s2(tuple(transcript.get_multiple_challenges(2)))
+            zw = ext2.s2_mul(z_pt, (omega, 0))
+            s2_row0_host = None
+            if self.mesh is None:
+                from .oracles import eval_monomial_sets_at
+                extra = ((s2m.lo[0], s2m.hi[0])
+                         if lp.lookup_is_allowed else ())
+                (ev_w, ev_s, ev_2, ev_q, ev_zw), extra_host = \
+                    eval_monomial_sets_at([
+                        (witness_oracle.monomials, z_pt),
+                        (setup_oracle.monomials, z_pt),
+                        (s2m, z_pt),
+                        (quotient_oracle.monomials, z_pt),
+                        (GL(s2m.lo[:, :2], s2m.hi[:, :2]), zw),
+                    ], extra_fetch=extra)
+                if lp.lookup_is_allowed:
+                    s2_row0_host = (extra_host[0].astype(np.uint64) |
+                                    (extra_host[1].astype(np.uint64)
+                                     << np.uint64(32)))
             else:
-                row0 = (np.asarray(stage2_oracle.monomials.lo[0], np.uint64) |
-                        (np.asarray(stage2_oracle.monomials.hi[0], np.uint64)
-                         << np.uint64(32)))
-            a_off = 2 * (1 + self.num_intermediates)
-            for i in range(num_lookup_subargs):
-                values_at_0.append((int(row0[a_off + 2 * i]),
-                                    int(row0[a_off + 2 * i + 1])))
-            b_off = a_off + 2 * num_lookup_subargs
-            values_at_0.append((int(row0[b_off]), int(row0[b_off + 1])))
-            for v in values_at_0:
+                z_pows = npgl.ext_powers(z_pt, n)
+                zw_pows = npgl.ext_powers(zw, n)
+                ev_w = witness_oracle.eval_monomials_at(z_pows)
+                ev_s = setup_oracle.eval_monomials_at(z_pows)
+                ev_2 = stage2_oracle.eval_monomials_at(z_pows)
+                ev_q = quotient_oracle.eval_monomials_at(z_pows)
+                ev_zw = stage2_oracle.eval_monomials_at(zw_pows)[:2]
+
+            def pair(evals, i):
+                f0, f1 = evals[2 * i], evals[2 * i + 1]
+                return ((f0[0] + 7 * f1[1]) % P, (f0[1] + f1[0]) % P)
+
+            values_at_z = []
+            values_at_z.extend(ev_w[:nv + nw])
+            values_at_z.extend(ev_s[nv:nv + nc])
+            values_at_z.extend(ev_s[:nv])
+            values_at_z.append(pair(ev_2, 0))
+            for i in range(self.num_intermediates):
+                values_at_z.append(pair(ev_2, 1 + i))
+            if lp.lookup_is_allowed:
+                values_at_z.extend(ev_w[nv + nw:nv + nw + nm])
+                a_base = 1 + self.num_intermediates
+                for i in range(num_lookup_subargs):
+                    values_at_z.append(pair(ev_2, a_base + i))
+                values_at_z.append(pair(ev_2, a_base + num_lookup_subargs))
+                values_at_z.extend(ev_s[nv + nc:nv + nc + nt])
+            for k in range(qd):
+                values_at_z.append(pair(ev_q, k))
+            for v in values_at_z:
                 transcript.witness_field_elements([v[0], v[1]])
+
+            values_at_z_omega = [pair(ev_zw, 0)]
+            transcript.witness_field_elements([values_at_z_omega[0][0],
+                                               values_at_z_omega[0][1]])
+
+            values_at_0 = []
+            if lp.lookup_is_allowed:
+                if s2_row0_host is not None:
+                    row0 = s2_row0_host  # rode the evals-at-z device_get
+                else:
+                    row0 = (np.asarray(stage2_oracle.monomials.lo[0],
+                                       np.uint64) |
+                            (np.asarray(stage2_oracle.monomials.hi[0],
+                                        np.uint64) << np.uint64(32)))
+                a_off = 2 * (1 + self.num_intermediates)
+                for i in range(num_lookup_subargs):
+                    values_at_0.append((int(row0[a_off + 2 * i]),
+                                        int(row0[a_off + 2 * i + 1])))
+                b_off = a_off + 2 * num_lookup_subargs
+                values_at_0.append((int(row0[b_off]), int(row0[b_off + 1])))
+                for v in values_at_0:
+                    transcript.witness_field_elements([v[0], v[1]])
 
         _stage("evals at z")
         # -- DEEP --------------------------------------------------------------
-        deep = _s2(tuple(transcript.get_multiple_challenges(2)))
+        if use_dev_ts:
+            deep_arr = transcript.get_ext_challenge()
+        else:
+            deep = _s2(tuple(transcript.get_multiple_challenges(2)))
         pub_tuples = {}
         for (c_, r_, value) in publics:
             open_at = pow(omega, r_, P)
             pub_tuples.setdefault(open_at, []).append((c_, value))
         total_ch = len(values_at_z) + 1 + len(values_at_0) + \
             sum(len(s) for s in pub_tuples.values())
-        deep_pows = [(1, 0)]
-        for _ in range(total_ch - 1):
-            deep_pows.append(ext2.s2_mul(deep_pows[-1], deep))
+        if not use_dev_ts:
+            deep_pows = [(1, 0)]
+            for _ in range(total_ch - 1):
+                deep_pows.append(ext2.s2_mul(deep_pows[-1], deep))
 
         fsize = fri_lde * n
         if "x_fri" in self._prove_invariant:
@@ -892,8 +1010,10 @@ class DeviceProver:
         for k in range(qd):
             sources_z.append((Q_, 2 * k, 2 * k + 1))
         assert len(sources_z) == len(values_at_z)
-        groups = [(sources_z, values_at_z, z_pt),
-                  ([(T2_, 0, 1)], values_at_z_omega, zw)]
+        z_pt_g = None if use_dev_ts else z_pt
+        zw_g = None if use_dev_ts else zw
+        groups = [(sources_z, values_at_z, z_pt_g),
+                  ([(T2_, 0, 1)], values_at_z_omega, zw_g)]
         if lp.lookup_is_allowed:
             srcs0 = []
             a_off = 2 * (1 + self.num_intermediates)
@@ -907,11 +1027,17 @@ class DeviceProver:
                            [(value, 0) for (_, value) in subset],
                            (open_at, 0)))
 
-        lam_flat = np.stack([scalar_ext(c) for c in deep_pows])
-        val_flat = np.stack([scalar_ext(tuple(v))
-                             for (_, vals_, _) in groups for v in vals_])
-        pts_arr = np.stack([scalar_ext(p) for (_, _, p) in groups])
-        assert len(val_flat) == total_ch
+        if use_dev_ts:
+            lam_flat = ext_pow_table_dev(deep_arr, total_ch)
+            val_flat = val_flat_dev
+            pts_arr = pts_arr_dev
+            assert int(val_flat.shape[0]) == total_ch
+        else:
+            lam_flat = np.stack([scalar_ext(c) for c in deep_pows])
+            val_flat = np.stack([scalar_ext(tuple(v))
+                                 for (_, vals_, _) in groups for v in vals_])
+            pts_arr = np.stack([scalar_ext(p) for (_, _, p) in groups])
+            assert len(val_flat) == total_ch
 
         wf = witness_oracle.flat[:fsize]
         sf = setup_oracle.flat[:fsize]
@@ -961,6 +1087,11 @@ class DeviceProver:
                                 fri_lde, cap_size, hasher)
 
         _stage("FRI folds+trees")
+        if use_dev_ts:
+            # ONE sync: the sponge state + pending buffer cross to host and
+            # the exact host transcript continues (PoW grinding + query-index
+            # bit derivation are inherently host-side)
+            transcript = transcript.handoff_to_host()
         pow_challenge = 0
         if new_pow_bits > 0:
             challenges = transcript.get_multiple_challenges(4)
@@ -1008,7 +1139,45 @@ class DeviceProver:
         for oracle, idxs in zip(fri_oracles, fri_idx_per_oracle):
             if hasattr(oracle, "prefetch"):
                 oracle.prefetch(idxs, collector=coll)
+        holders = {}
+        if use_dev_ts:
+            # final proof values ride the same single device_get: evals at
+            # z/z·ω/0, FRI final monomials, and every oracle cap
+            def reg(name, c0, c1):
+                coll.add((c0.lo, c0.hi, c1.lo, c1.hi),
+                         lambda h, name=name: holders.__setitem__(name, h))
+
+            reg("vz", *vz_dev)
+            reg("vzw", *vzw_dev)
+            if v0_dev is not None:
+                reg("v0", *v0_dev)
+            m0l, m0h, m1l, m1h, final_degree = fri_result.monomial_forms_dev
+            coll.add((m0l, m0h, m1l, m1h),
+                     lambda h: holders.__setitem__("fri_monos", h))
+            for oracle in (witness_oracle, stage2_oracle, quotient_oracle,
+                           setup_oracle, *fri_oracles):
+                tree = getattr(oracle, "tree", None)
+                if tree is not None and hasattr(tree, "prefetch_cap"):
+                    tree.prefetch_cap(coll)
         coll.flush()
+        if use_dev_ts:
+            def to_pairs(h):
+                c0 = (np.asarray(h[0], np.uint64)
+                      | (np.asarray(h[1], np.uint64) << np.uint64(32)))
+                c1 = (np.asarray(h[2], np.uint64)
+                      | (np.asarray(h[3], np.uint64) << np.uint64(32)))
+                return [(int(a), int(b)) for a, b in zip(c0, c1)]
+
+            values_at_z = to_pairs(holders["vz"])
+            values_at_z_omega = to_pairs(holders["vzw"])
+            values_at_0 = to_pairs(holders["v0"]) if "v0" in holders else []
+            fm = to_pairs(holders["fri_monos"])
+            m0 = [a for (a, _) in fm]
+            m1 = [b for (_, b) in fm]
+            assert not any(m0[final_degree:]) and not any(m1[final_degree:]), \
+                "FRI final poly degree too high"
+            fri_result.monomial_forms = (m0[:final_degree],
+                                         m1[:final_degree])
         w_rows, s2_rows, q_rows, su_rows = (
             r.value if hasattr(r, "value") else r
             for r in (w_rows, s2_rows, q_rows, su_rows))
@@ -1055,6 +1224,108 @@ def _fri_queries(fri_result, schedule, n, coset_idx, inner_idx):
         cur_inner >>= k
         cur_domain >>= k
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _evals_deep_prep_jit(n, widths, omega, nv, nw, nm, nc, nt, ni, nsub, qd,
+                         lookup, n_pub, n_pub_pts):
+    """ONE program for the whole evals-at-z + DEEP-prep stage under the
+    device transcript: z·ω, on-device power tables, all barycentric sums,
+    ext-pair recombination in the proof's value order, the absorb streams,
+    and the DEEP val/point tables. (Eager jnp ops cost ~20-40 ms each over
+    the tunnel — this used to be ~40 of them.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from ..field.extension import GL2
+
+    def f(z_arr, pub_vals, pub_pts, *mono_args):
+        om = np.zeros((2, 2), np.uint32)
+        om[0] = (omega & 0xFFFFFFFF, omega >> 32)
+        zw_arr = _ext_mul_22(z_arr, jnp.asarray(om))
+        # power tables for z and z·ω (associative scans, as in oracles.py)
+        pows = []
+        for pt in (z_arr, zw_arr):
+            base = GL2(gl.GL(jnp.broadcast_to(pt[0, 0], (n,)),
+                             jnp.broadcast_to(pt[0, 1], (n,))),
+                       gl.GL(jnp.broadcast_to(pt[1, 0], (n,)),
+                             jnp.broadcast_to(pt[1, 1], (n,))))
+            seeded = GL2(
+                gl.GL(base.c0.lo.at[0].set(1), base.c0.hi.at[0].set(0)),
+                gl.GL(base.c1.lo.at[0].set(0), base.c1.hi.at[0].set(0)))
+            pows.append(jax.lax.associative_scan(ext2.mul, seeded, axis=0))
+        point_ids = (0, 0, 0, 0, 1)
+        setv = []
+        for si in range(len(widths)):
+            mono = GL(mono_args[2 * si], mono_args[2 * si + 1])
+            zp = pows[point_ids[si]]
+            comps = []
+            for comp in (zp.c0, zp.c1):
+                prod = gl.mul(mono, GL(comp.lo[:, None], comp.hi[:, None]))
+                comps.append(device._sum_gl(prod, axis=0))
+            setv.append((comps[0], comps[1]))  # (A, B) = (c0, c1) per poly
+
+        def pairs(si, start, count):
+            A, B = setv[si]
+            a0 = A[2 * start:2 * (start + count):2]
+            b0 = B[2 * start:2 * (start + count):2]
+            a1 = A[2 * start + 1:2 * (start + count):2]
+            b1 = B[2 * start + 1:2 * (start + count):2]
+            return (gl.add(a0, gl.mul_by_u32(b1, 7)), gl.add(b0, a1))
+
+        Aw, Bw = setv[0]
+        As, Bs = setv[1]
+        parts = [(Aw[:nv + nw], Bw[:nv + nw]),
+                 (As[nv:nv + nc], Bs[nv:nv + nc]),
+                 (As[:nv], Bs[:nv]),
+                 pairs(2, 0, 1 + ni)]
+        if lookup:
+            parts.append((Aw[nv + nw:nv + nw + nm], Bw[nv + nw:nv + nw + nm]))
+            parts.append(pairs(2, 1 + ni, nsub + 1))
+            parts.append((As[nv + nc:nv + nc + nt], Bs[nv + nc:nv + nc + nt]))
+        parts.append(pairs(3, 0, qd))
+        vz_c0 = gl.concat([c0 for (c0, _) in parts])
+        vz_c1 = gl.concat([c1 for (_, c1) in parts])
+        zw_c0, zw_c1 = pairs(4, 0, 1)
+        outs = [vz_c0.lo, vz_c0.hi, vz_c1.lo, vz_c1.hi,
+                zw_c0.lo, zw_c0.hi, zw_c1.lo, zw_c1.hi]
+
+        def v22(c0, c1):
+            return jnp.stack([jnp.stack([c0.lo, c0.hi], axis=-1),
+                              jnp.stack([c1.lo, c1.hi], axis=-1)], axis=1)
+
+        val_parts = [v22(vz_c0, vz_c1), v22(zw_c0, zw_c1)]
+        pt_parts = [z_arr[None], zw_arr[None]]
+        if lookup:
+            # values at 0 = row 0 of the s2 A/B monomials
+            a_off = 2 * (1 + ni)
+            s2lo, s2hi = mono_args[4], mono_args[5]
+            row = GL(s2lo[0, a_off:a_off + 2 * (nsub + 1)],
+                     s2hi[0, a_off:a_off + 2 * (nsub + 1)])
+            v0_c0, v0_c1 = row[0::2], row[1::2]
+            outs.extend((v0_c0.lo, v0_c0.hi, v0_c1.lo, v0_c1.hi))
+            val_parts.append(v22(v0_c0, v0_c1))
+            pt_parts.append(jnp.zeros((1, 2, 2), jnp.uint32))
+        if n_pub:
+            val_parts.append(pub_vals)
+        if n_pub_pts:
+            pt_parts.append(pub_pts)
+        outs.append(jnp.concatenate(val_parts, axis=0))
+        outs.append(jnp.concatenate(pt_parts, axis=0))
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+def _ext_mul_22(a, b):
+    """Traced (2,2)x(2,2) ext mul."""
+    from ..field.extension import GL2
+    x = GL2(GL(a[0, 0], a[0, 1]), GL(a[1, 0], a[1, 1]))
+    y = GL2(GL(b[0, 0], b[0, 1]), GL(b[1, 0], b[1, 1]))
+    o = ext2.mul(x, y)
+    import jax.numpy as jnp_
+    return jnp_.stack([jnp_.stack([o.c0.lo, o.c0.hi]),
+                       jnp_.stack([o.c1.lo, o.c1.hi])])
 
 
 def _consts_read(ev):

@@ -157,3 +157,71 @@ def test_non_native_inverse_or_zero_corruption_detected():
     cs.resolver.values[inv.limbs[0]] ^= 1
     cs.pad_and_shrink()
     assert not cs.check_if_satisfied(verbose=False)
+
+
+def test_projective_complete_add_edge_cases():
+    """SWProjectivePoint (complete RCB formulas): identity, P+(-P), P+P and
+    mixed adds all take the same constraint path (reference
+    sw_projective/mod.rs capabilities; round-2 VERDICT missing item 1)."""
+    from boojum_tpu.gadgets.curves import SWProjectivePoint, host_ec_add
+
+    Gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    Gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    M = SECP_P
+    params = NonNativeParams.for_modulus(M)
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 16)
+    G_aff = SWAffinePoint.allocate_checked(cs, params, Gx, Gy, 0, 7)
+    G = SWProjectivePoint.from_affine(G_aff)
+
+    def affine(p):
+        pt, flag = p.convert_to_affine_or_default((0, 0))
+        return (pt.x.get_witness(), pt.y.get_witness(),
+                int(cs.resolver.get_value(flag)))
+
+    # doubling through the SAME complete add
+    G2 = G.add(G)
+    want2 = host_ec_add((Gx, Gy), (Gx, Gy), 0, M)
+    assert affine(G2) == (want2[0], want2[1], 0)
+    # mixed add
+    G3 = G2.add(G)
+    want3 = host_ec_add(want2, (Gx, Gy), 0, M)
+    assert affine(G3) == (want3[0], want3[1], 0)
+    # P + (-P) = identity; conversion yields the default + flag
+    inf = G.add(G.negate())
+    assert affine(inf) == (0, 0, 1)
+    # identity + P = P
+    Z = SWProjectivePoint.zero(cs, params, 0, 7)
+    back = Z.add(G)
+    assert affine(back) == (Gx, Gy, 0)
+    # identity + identity = identity
+    assert affine(Z.add(Z)) == (0, 0, 1)
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()
+
+
+@pytest.mark.slow
+def test_projective_scalar_mul_zero_and_value():
+    """Projective double-and-add needs NO blinding: 0·G and k·G both prove
+    (the affine ladder cannot represent the 0 result at all)."""
+    from boojum_tpu.cs.gates import BooleanConstraintGate
+    from boojum_tpu.gadgets.curves import SWProjectivePoint, host_ec_mul
+
+    Gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    Gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    M = SECP_P
+    params = NonNativeParams.for_modulus(M)
+    cs, _ = make_cs(with_tables=False, max_trace=1 << 17)
+    G = SWProjectivePoint.from_affine(
+        SWAffinePoint.allocate_checked(cs, params, Gx, Gy, 0, 7))
+    for k in (0, 0xB):
+        bits = [(k >> i) & 1 for i in range(4)]
+        bit_vars = BooleanConstraintGate.allocate_batch(cs, bits)
+        out = G.mul_by_scalar_bits([int(b) for b in bit_vars])
+        pt, flag = out.convert_to_affine_or_default((0, 0))
+        want = host_ec_mul((Gx, Gy), k, 0, M)
+        if want is None:
+            assert int(cs.resolver.get_value(flag)) == 1
+        else:
+            assert (pt.x.get_witness(), pt.y.get_witness()) == want
+    cs.pad_and_shrink()
+    assert cs.check_if_satisfied()

@@ -326,3 +326,23 @@ def test_checked_in_fixture_proof_verifies():
     vk = ser.vk_from_json(open(os.path.join(fdir, "vk.json")).read())
     proof = proof_from_json(open(os.path.join(fdir, "proof.json")).read())
     assert verify(vk, proof, "poseidon2", "poseidon2")
+
+
+@pytest.mark.slow
+def test_device_transcript_byte_identical():
+    """The device-resident transcript path (challenges derived on device,
+    one mid-prove handoff sync, batched final fetch) emits a BIT-IDENTICAL
+    proof to the host-transcript path on the same fused prover. Slow: fused
+    XLA:CPU compiles (also validated on the real chip)."""
+    from boojum_tpu.prover.device_prover import DeviceProver, create_device_setup
+    from boojum_tpu.prover.proof import proof_to_json
+
+    cs = build_small_circuit(with_lookup=True, n_fma=12)
+    sb = create_base_setup(cs)
+    cfg = ProofConfig(fri_lde_factor=4, merkle_tree_cap_size=4)
+    dev_art = create_device_setup(cs, sb, cfg, "poseidon2")
+    dp = DeviceProver(cs, dev_art, cfg, fuse=True)
+    host_proof = dp.prove("poseidon", "poseidon2", device_transcript=False)
+    dev_proof = dp.prove("poseidon", "poseidon2", device_transcript=True)
+    assert verify(dev_art.vk, dev_proof, "poseidon", "poseidon2")
+    assert proof_to_json(host_proof) == proof_to_json(dev_proof)
