@@ -46,13 +46,6 @@ def _local_lde(cols: GL, log_n: int, lde_factor: int) -> GL:
     return out.reshape(l * n, k)
 
 
-def _leaf_hash_rows(rows: GL) -> GL:
-    """rows: (m_local, k) -> leaf hashes (m_local, 4) via the sponge."""
-    cols = GL(rows.lo.T, rows.hi.T)  # (k, m_local)
-    out = sponge.hash_leaves(cols)  # (4, m_local) — eager path
-    return GL(out.lo.T, out.hi.T)
-
-
 def _leaf_hash_rows_traced(rows: GL) -> GL:
     """Trace-safe leaf hashing (no fixed-batch driver): direct stacked sponge."""
     k, = rows.lo.shape[1:]

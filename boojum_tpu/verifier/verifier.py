@@ -34,14 +34,28 @@ P = ORDER
 E_ZERO = (0, 0)
 E_ONE = (1, 0)
 
-#: reason string of the most recent verification failure (debug aid)
-LAST_FAILURE = None
+import threading as _threading
+
+# per-thread failure reason (debug aid): a verifying service may run
+# concurrent verifications; module attribute access (`verifier.LAST_FAILURE`)
+# resolves through __getattr__ below to this thread's value
+_tls = _threading.local()
 
 
 def _fail(reason: str) -> bool:
-    global LAST_FAILURE
-    LAST_FAILURE = reason
+    _tls.last_failure = reason
     return False
+
+
+def last_failure():
+    """Reason string of this THREAD's most recent verification failure."""
+    return getattr(_tls, "last_failure", None)
+
+
+def __getattr__(name):
+    if name == "LAST_FAILURE":
+        return last_failure()
+    raise AttributeError(name)
 
 
 def _p2flat():
