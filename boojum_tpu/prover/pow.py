@@ -12,19 +12,53 @@ import hashlib
 from ..hash.keccak import keccak256
 
 
+def _grind_range(args):
+    """Worker: smallest passing nonce in [start, start+count) or None."""
+    kind, seed, threshold, start, count = args
+    if kind == "blake2s":
+        def digest(n):
+            return hashlib.blake2s(seed + n.to_bytes(8, "little"),
+                                   digest_size=32).digest()
+    else:
+        def digest(n):
+            return keccak256(seed + n.to_bytes(8, "little"))
+    for n in range(start, start + count):
+        if int.from_bytes(digest(n)[:8], "little") < threshold:
+            return n
+    return None
+
+
+def _parallel_grind(kind: str, seed: bytes, threshold: int,
+                    block: int = 1 << 15) -> int:
+    """Deterministic multi-process nonce search (reference pow.rs:51 grinds
+    on a worker pool; serial python at ~1 us/hash makes 2^20-bit grinds
+    multi-second). Scans generations of workers*block nonces; the result is
+    the SMALLEST passing nonce of the first generation with a hit, so proofs
+    stay byte-deterministic regardless of worker timing."""
+    import multiprocessing as mp
+    import os
+
+    workers = min(8, os.cpu_count() or 1)
+    if workers <= 1:
+        n = _grind_range((kind, seed, threshold, 0, 1 << 40))
+        return int(n)
+    base = 0
+    with mp.Pool(workers) as pool:
+        while True:
+            tasks = [(kind, seed, threshold, base + i * block, block)
+                     for i in range(workers)]
+            hits = [h for h in pool.map(_grind_range, tasks) if h is not None]
+            if hits:
+                return min(hits)
+            base += workers * block
+
+
 def blake2s_pow(challenges: list[int], bits: int) -> int:
     seed_h = hashlib.blake2s(digest_size=32)
     for c in challenges:
         seed_h.update(int(c).to_bytes(8, "little"))
     seed = seed_h.digest()
-    threshold = 1 << (64 - bits)
-    nonce = 0
-    while True:
-        digest = hashlib.blake2s(seed + nonce.to_bytes(8, "little"),
-                                 digest_size=32).digest()
-        if int.from_bytes(digest[:8], "little") < threshold:
-            return nonce
-        nonce += 1
+    return _parallel_grind("blake2s", seed, 1 << (64 - bits))
 
 
 def verify_blake2s_pow(challenges: list[int], bits: int, nonce: int) -> bool:
@@ -39,13 +73,7 @@ def verify_blake2s_pow(challenges: list[int], bits: int, nonce: int) -> bool:
 def keccak256_pow(challenges: list[int], bits: int) -> int:
     seed = b"".join(int(c).to_bytes(8, "little") for c in challenges)
     seed = keccak256(seed)
-    threshold = 1 << (64 - bits)
-    nonce = 0
-    while True:
-        digest = keccak256(seed + nonce.to_bytes(8, "little"))
-        if int.from_bytes(digest[:8], "little") < threshold:
-            return nonce
-        nonce += 1
+    return _parallel_grind("keccak256", seed, 1 << (64 - bits))
 
 
 def verify_keccak256_pow(challenges: list[int], bits: int, nonce: int) -> bool:
