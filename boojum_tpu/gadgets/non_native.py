@@ -436,3 +436,114 @@ class NonNativeField:
             cs, np.asarray(a.limbs, np.uint64), np.asarray(b.limbs, np.uint64),
             np.full(len(a.limbs), flag_var, np.uint64))
         return NonNativeField(cs, a.params, [int(v) for v in sel], a.table_ids)
+
+
+class NonNativeFieldLazy:
+    """Unreduced non-native element: per-limb SYMBOLIC term lists.
+
+    Reference behavior: implementation_u16.rs ``lazy_add`` /
+    ``add_many_lazy`` / ``lazy_double`` — additions cost ZERO constraints
+    (they only extend the term lists and the tracked limb bound); one
+    ``normalize()`` pays a single q·M + r column chain for the whole
+    accumulated sum. ECC-style chains (many adds per mul) synthesize far
+    fewer rows this way, matching the reference's trace layout philosophy.
+    """
+
+    def __init__(self, cs, params: NonNativeParams, limb_terms, limb_hosts,
+                 max_limb: int, table_ids=None):
+        self.cs = cs
+        self.params = params
+        #: per limb: list of (small-int coeff, variable) pairs
+        self.limb_terms = limb_terms
+        #: per limb: exact host value of the terms (ints; 0 without resolver)
+        self.limb_hosts = limb_hosts
+        #: bound: every limb's host value is <= max_limb
+        self.max_limb = max_limb
+        self.table_ids = table_ids
+
+    @classmethod
+    def from_reduced(cls, nn: NonNativeField) -> "NonNativeFieldLazy":
+        cs = nn.cs
+        hosts = [cs.get_value(l) if cs.resolver else 0 for l in nn.limbs]
+        return cls(cs, nn.params, [[(1, l)] for l in nn.limbs], hosts,
+                   BASE - 1, nn.table_ids)
+
+    @staticmethod
+    def _coerce(x) -> "NonNativeFieldLazy":
+        if isinstance(x, NonNativeFieldLazy):
+            return x
+        return NonNativeFieldLazy.from_reduced(x)
+
+    def lazy_add(self, other) -> "NonNativeFieldLazy":
+        o = self._coerce(other)
+        terms = [a + b for a, b in zip(self.limb_terms, o.limb_terms)]
+        hosts = [a + b for a, b in zip(self.limb_hosts, o.limb_hosts)]
+        return NonNativeFieldLazy(self.cs, self.params, terms, hosts,
+                                  self.max_limb + o.max_limb, self.table_ids)
+
+    def lazy_double(self) -> "NonNativeFieldLazy":
+        terms = [[(2 * c, v) for (c, v) in lt] for lt in self.limb_terms]
+        return NonNativeFieldLazy(self.cs, self.params, terms,
+                                  [2 * h for h in self.limb_hosts],
+                                  2 * self.max_limb, self.table_ids)
+
+    @classmethod
+    def add_many_lazy(cls, elems) -> "NonNativeFieldLazy":
+        acc = cls._coerce(elems[0])
+        for e in elems[1:]:
+            acc = acc.lazy_add(e)
+        return acc
+
+    def get_witness(self) -> int:
+        """Exact UNREDUCED host integer value."""
+        return sum(h << (LIMB * i) for i, h in enumerate(self.limb_hosts))
+
+    def normalize(self) -> NonNativeField:
+        """Materialize as a reduced NonNativeField: ONE q·M + r column
+        chain over the accumulated terms (the whole point of laziness)."""
+        cs = self.cs
+        params = self.params
+        L = params.num_limbs
+        M = params.modulus
+        M_limbs = params.limbs_of(M)
+
+        value_max = sum(self.max_limb << (LIMB * i) for i in range(L))
+        q_bits = max(value_max.bit_length() - M.bit_length() + 1, 1)
+        n_q = -(-q_bits // LIMB)
+        value = self.get_witness() if cs.resolver else 0
+        q, r = divmod(value, M)
+        q_limbs = [cs.alloc_variable_with_value((q >> (LIMB * i)) & (BASE - 1))
+                   for i in range(n_q)]
+        r_limbs = [cs.alloc_variable_with_value(l) for l in params.limbs_of(r)]
+        helper = NonNativeField(cs, params, r_limbs, self.table_ids)
+        helper._range_check(q_limbs)
+        helper._range_check(r_limbs)
+        q_val = [cs.get_value(l) for l in q_limbs] if cs.resolver else [0] * n_q
+        r_val = [cs.get_value(l) for l in r_limbs] if cs.resolver else [0] * L
+
+        n_cols = max(L, n_q + L - 1)
+        columns, hosts = [], []
+        max_col = 0
+        for k in range(n_cols):
+            terms = []
+            host = 0
+            col_bound = 0
+            if k < L:
+                terms.extend((c % P, v) for (c, v) in self.limb_terms[k])
+                host += self.limb_hosts[k]
+                col_bound += self.max_limb
+                terms.append((P - 1, r_limbs[k]))
+                host -= r_val[k]
+            for i in range(max(0, k - L + 1), min(k + 1, n_q)):
+                Mj = M_limbs[k - i]
+                if Mj:
+                    terms.append((P - Mj, q_limbs[i]))
+                    host -= q_val[i] * Mj
+                    col_bound += Mj * (BASE - 1)
+            columns.append(terms)
+            hosts.append(host)
+            max_col = max(max_col, col_bound)
+        offset_pow = max_col.bit_length() + 2
+        helper._column_chain(columns, hosts, carry_bits=offset_pow - LIMB,
+                             offset_pow=offset_pow)
+        return helper

@@ -1,0 +1,112 @@
+"""2^24 Goldilocks NTT per-chip roofline benchmark (BASELINE.md target:
+"2^24 Goldilocks NTT/s/chip at speed-of-light per-chip field throughput").
+
+Prints ONE JSON line: measured single-chip 2^24-point NTT rate plus the
+fraction of the chip's compute roofline it achieves.
+
+Roofline model (constants measured on THIS chip with the drained-dispatch
+harness, scripts/microbench_true.py):
+  - MXU digit-matmul bound: the four-step runs radix-256/128 passes as
+    exact f32 digit matmuls — 64·R MACs per element per pass at the
+    measured ~90 T MAC/s marginal rate;
+  - VPU butterfly bound: n·log2(n)/2 butterflies at ~100 u32 ops each
+    (1 lazy gl.mul + 2 lazy gl.add) over the measured ~4.5 T op/s VPU;
+  - HBM bound: each pass reads+writes the 2·4·n bytes of limbs
+    (~819 GB/s on a v5e).
+The reported roofline is the BEST (lowest-time) achievable bound for the
+implementation's actual pass structure.
+
+Timing uses a data-dependent device_get barrier (block_until_ready is not a
+reliable completion barrier on the axon backend).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MXU_MACS_PER_S = 90e12    # measured marginal (180 TFLOP/s f32)
+VPU_OPS_PER_S = 4.5e12    # measured u32 elementwise
+HBM_BYTES_PER_S = 819e9   # v5e spec
+
+
+def main():
+    import boojum_tpu
+    boojum_tpu.enable_persistent_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.field.goldilocks import GL
+    from boojum_tpu.ntt import ntt
+
+    def get1(arr):
+        return np.asarray(jax.device_get(arr[..., :1]))
+
+    log_n = 24
+    n = 1 << log_n
+    b = 1  # one 2^24-point transform per call (the BASELINE metric)
+    rng = np.random.default_rng(5)
+    x = GL(jnp.asarray(rng.integers(0, 1 << 32, (n, b)).astype(np.uint32)),
+           jnp.asarray(rng.integers(0, 0xFFFF0000, (n, b)).astype(np.uint32)))
+    get1(x.lo)
+
+    f = jax.jit(lambda lo, hi: ntt.ntt_fourstep_cols(GL(lo, hi)).astuple())
+    o = f(x.lo, x.hi)
+    get1(o[0])  # compile + warm
+
+    # timed series with fresh inputs; subtract the sync round trip
+    t0 = time.perf_counter()
+    for _ in range(4):
+        get1(x.lo)
+    base = (time.perf_counter() - t0) / 4
+    times = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        o = f(x.lo + jnp.uint32(r + 1), x.hi)
+        get1(o[0])
+        times.append(time.perf_counter() - t0 - base)
+    t_ntt = min(times)
+
+    # (value identity with the butterfly/host paths is asserted in tests)
+
+    # roofline bounds for this pass structure
+    if ntt.use_mxu():
+        # passes: 256-matmul + 256-matmul + cross twiddle (log_n=24 -> 8,16
+        # recursion: 256 + (256 + 256)); count actual matmul passes
+        def matmul_passes(ln):
+            if ln <= 8:
+                return 1
+            n1 = ntt._fourstep_split(ln)
+            return matmul_passes(n1) + matmul_passes(ln - n1)
+        passes = matmul_passes(log_n)
+        macs = passes * 64 * 256 * n * b
+        t_bound_compute = macs / MXU_MACS_PER_S
+    else:
+        ops = (n * log_n / 2) * 100 * b
+        t_bound_compute = ops / VPU_OPS_PER_S
+    hbm_passes = 2 * max(2, log_n // 8)  # read+write per four-step level
+    t_bound_hbm = hbm_passes * (8 * n * b) / HBM_BYTES_PER_S
+    t_roofline = max(t_bound_compute, t_bound_hbm)
+
+    print(json.dumps({
+        "metric": "ntt_2e24_per_chip",
+        "value": round(1.0 / t_ntt, 2),
+        "unit": "2^24-point Goldilocks NTTs per second per chip",
+        "ms_per_transform": round(t_ntt * 1e3, 2),
+        "melements_per_s": round(n / t_ntt / 1e6, 1),
+        "roofline_ms": round(t_roofline * 1e3, 2),
+        "pct_of_roofline": round(100 * t_roofline / t_ntt, 1),
+        "path": "mxu-fourstep" if ntt.use_mxu() else "vpu-fourstep",
+        "note": ("roofline = max(MXU digit-matmul bound, HBM pass bound) "
+                 "for the implemented pass structure; constants measured "
+                 "with the drained-dispatch harness"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

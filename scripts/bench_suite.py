@@ -81,7 +81,9 @@ def bench_keccak256(n_bytes=1024):
     _emit("keccak256_%dB" % n_bytes, t_warm, extra)
 
 
-def bench_lookup_heavy(n_lookups=1 << 20):
+def bench_lookup_heavy(n_lookups=(1 << 20) - 1024):
+    # 8 specialized repetitions/row: leave headroom for the constants rows
+    # so the trace stays at 2^17 (1<<20 exactly overflowed max_trace_len)
     from boojum_tpu.cs import (ConstraintSystem, CSConfig, CSGeometry,
                                LookupParameters)
     from boojum_tpu.cs.gates import ConstantsAllocatorGate, FmaGate, NopGate
@@ -118,8 +120,15 @@ def bench_lookup_heavy(n_lookups=1 << 20):
 
 def bench_recursion_outer():
     from tests.test_prove_verify import build_small_circuit
-    from tests.test_recursion import make_outer_cs
+    from boojum_tpu.cs import ConstraintSystem, CSConfig, CSGeometry
+    from boojum_tpu.cs.gates import (BooleanConstraintGate,
+                                     ConstantsAllocatorGate, FmaGate,
+                                     NopGate, ReductionGate, SelectionGate,
+                                     ZeroCheckGate)
+    from boojum_tpu.cs.gates.arith import FmaGateInExtension
     from boojum_tpu.cs.setup import create_base_setup
+    from boojum_tpu.gadgets.poseidon2_circuit import allow_poseidon2_gates
+    from boojum_tpu.gadgets.recursion.primitives import allow_poseidon_gates
     from boojum_tpu.gadgets.recursion.verifier import (AllocatedProof,
                                                        recursive_verify)
     from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
@@ -135,8 +144,19 @@ def bench_recursion_outer():
     inner_proof = prove(inner, art, inner_cfg, "poseidon", "poseidon2")
     assert verify(art.vk, inner_proof, "poseidon", "poseidon2")
 
+    # outer: the flattened-gate geometry of
+    # test_recursive_verifier_full_security_proof (132 cols, degree 8)
     t0 = time.time()
-    outer = make_outer_cs(1 << 15)
+    geom = CSGeometry(num_columns_under_copy_permutation=132,
+                      num_witness_columns=0, num_constant_columns=8,
+                      max_allowed_constraint_degree=8)
+    outer = ConstraintSystem(geom, 1 << 17, CSConfig.dev())
+    for g in (ConstantsAllocatorGate, FmaGate, NopGate, BooleanConstraintGate,
+              SelectionGate, ZeroCheckGate, FmaGateInExtension):
+        outer.allow_gate(g)
+    outer.allow_gate(ReductionGate, params=4)
+    allow_poseidon2_gates(outer, flattened=True)
+    allow_poseidon_gates(outer, flattened=True)
     alloc = AllocatedProof.allocate(outer, inner_proof)
     recursive_verify(outer, art.vk, alloc, inner_cfg, "poseidon", "poseidon2")
     outer.pad_and_shrink()
