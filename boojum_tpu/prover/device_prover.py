@@ -80,7 +80,13 @@ class DeviceProver:
         self.mesh = mesh
         if fuse is None:
             fuse = jax.default_backend() != "cpu"
-        self.fuse = fuse and mesh is None
+        # fused phase programs under a mesh run fine through GSPMD on
+        # accelerator backends (validated byte-identical on-chip with a
+        # 1-device mesh); XLA:CPU's partitioned compile of the wide fused
+        # carry-chain graphs is pathological (hours), so the virtual-CPU-mesh
+        # path keeps the rolled programs
+        self.fuse = fuse and (mesh is None
+                              or jax.default_backend() != "cpu")
         sb = artifacts.setup_base
         self.cs = cs
         self.artifacts = artifacts
