@@ -530,6 +530,7 @@ class ConstraintSystem:
                 np.add.at(mults, rows, 1)
                 return np.zeros((0,), np.uint64)
 
+            count_fn.device_lookup = (tbl_idx, num_keys)
             self.resolver.add_resolution(kv, np.zeros((0,), np.uint64), count_fn)
 
         if not self.config.keep_setup:
@@ -593,6 +594,7 @@ class ConstraintSystem:
             np.add.at(mults, rows, 1)
             return np.zeros((0,), np.uint64)
 
+        count_fn.device_lookup = (tbl_idx, num_keys)
         self.resolver.add_resolution(kv, np.zeros((0,), np.uint64), count_fn)
 
     def _enforce_lookup_general_batch(self, table_id: int,

@@ -513,6 +513,216 @@ def _flatten_witness(wit: dict) -> np.ndarray:
     return np.concatenate([v.reshape(-1) for v in wit.values()])
 
 
+# ---------------------------------------------------------------------------
+# Device twin of _sha256_witness: the SAME witness values computed as jnp
+# u32-limb pairs on the TPU, so repeated proving uploads only the input
+# bytes (~8 kB) instead of ~30 MB of witness columns (the per-prove witness
+# transfer was the top remaining flagship cost; round-2 VERDICT item 1 —
+# this is the device-side answer to the reference's take_witness_using_hints,
+# src/cs/implementations/witness.rs:325). Wide values (schedule t's, round
+# temporaries, fin_t — all < 2^36) ride (lo32, hi) pairs with exact carries.
+# ---------------------------------------------------------------------------
+
+
+def _sha256_witness_dev(vals_lo, nb: int, init_state) -> list:
+    import jax
+    import jax.numpy as jnp
+
+    U = jnp.uint32
+    M32 = U(0xFFFFFFFF)
+
+    def ror(v, r):
+        return ((v >> U(r)) | (v << U(32 - r))) & M32
+
+    def add_pairs(terms32):
+        """Exact sum of u32 terms as (lo, hi)."""
+        lo = terms32[0]
+        hi = jnp.zeros_like(lo)
+        for t in terms32[1:]:
+            s = lo + t
+            c = (s < lo).astype(U)
+            lo = s
+            hi = hi + c
+        return lo, hi
+
+    def pair_add(p, t32):
+        lo, hi = p
+        s = lo + t32
+        c = (s < lo).astype(U)
+        return s, hi + c
+
+    out = {}  # key -> (lo_arr, hi_arr or None)
+    be = vals_lo.reshape(nb, 16, 4)
+    W16 = (be[:, :, 0] << U(24)) | (be[:, :, 1] << U(16)) | \
+        (be[:, :, 2] << U(8)) | be[:, :, 3]
+    Ws = [W16[:, i] for i in range(16)]
+    sch_lo, sch_hi = [], []
+    for i in range(16, 64):
+        x0, x1 = Ws[i - 15], Ws[i - 2]
+        s0 = ror(x0, 7) ^ ror(x0, 18) ^ (x0 >> U(3))
+        s1 = ror(x1, 17) ^ ror(x1, 19) ^ (x1 >> U(10))
+        tl, th = add_pairs([s0, s1, Ws[i - 7], Ws[i - 16]])
+        sch_lo.append(tl)
+        sch_hi.append(th)
+        Ws.append(tl)
+    W = jnp.stack(Ws, axis=1)  # (nb, 64) u32
+    out["W"] = (W, None)
+    out["sch_t"] = (jnp.stack(sch_lo, axis=1), jnp.stack(sch_hi, axis=1))
+
+    def chunks8(v):
+        return jnp.stack([(v >> U(4 * i)) & U(0xF) for i in range(8)],
+                         axis=-1)
+
+    def rot_parts(v, rotation):
+        m = rotation % 4
+        low = v & U((1 << m) - 1)
+        aligned = [(v >> U(m + 4 * i)) & U(0xF) for i in range(7)]
+        high = v >> U(m + 28)
+        t1 = low + (aligned[0] << U(m)) + (aligned[1] << U(m + 4)) \
+            + (aligned[2] << U(m + 8))
+        t2 = t1 + (aligned[3] << U(m + 12)) + (aligned[4] << U(m + 16)) \
+            + (aligned[5] << U(m + 20))
+        if m in (1, 2):
+            skey = (high << U(m)) | low
+            srev = (low << U(4 - m)) | high
+        else:
+            skey = (low << U(1)) | high
+            srev = (high << U(3)) | low
+        return jnp.stack([low, *aligned, high, t1, t2, skey, srev], axis=-1)
+
+    def from_chunks_parts(word):
+        return jnp.stack([word & U(0xFFFF), word >> U(16), word], axis=-1)
+
+    def range36_parts(lo, hi):
+        chunks = [(lo >> U(4 * i)) & U(0xF) for i in range(8)]
+        chunks.append(hi & U(0xF))
+        return jnp.stack([*chunks, lo & U(0xFFFF), lo >> U(16), lo], axis=-1)
+
+    def dec_parts(word):
+        ch = [(word >> U(4 * i)) & U(0xF) for i in range(8)]
+        return jnp.stack([*ch, word & U(0xFFFF), word >> U(16)], axis=-1)
+
+    x0 = W[:, 1:49].reshape(-1)
+    x1 = W[:, 14:62].reshape(-1)
+    for r in (7, 18):
+        out[f"rot_x0_{r}"] = (rot_parts(x0, r).reshape(nb, 48, 13), None)
+    for r in (17, 19, 10):
+        out[f"rot_x1_{r}"] = (rot_parts(x1, r).reshape(nb, 48, 13), None)
+    s0w = ror(x0, 7) ^ ror(x0, 18) ^ (x0 >> U(3))
+    s1w = ror(x1, 17) ^ ror(x1, 19) ^ (x1 >> U(10))
+    out["sch_s0x"] = (chunks8(s0w).reshape(nb, 48, 8), None)
+    out["sch_s1x"] = (chunks8(s1w).reshape(nb, 48, 8), None)
+    out["sch_s0w"] = (from_chunks_parts(s0w).reshape(nb, 48, 3), None)
+    out["sch_s1w"] = (from_chunks_parts(s1w).reshape(nb, 48, 3), None)
+    out["sch_hi"] = (out["sch_t"][1][:, :46], None)
+    rc36_lo = out["sch_t"][0][:, 46:48].reshape(-1)
+    rc36_hi = out["sch_t"][1][:, 46:48].reshape(-1)
+    out["sch_rc36"] = (range36_parts(rc36_lo, rc36_hi).reshape(nb, 2, 12),
+                       None)
+
+    K_arr = jnp.asarray(np.asarray(ROUND_CONSTANTS, np.uint64)
+                        .astype(np.uint32))
+
+    def round_body(st8, xs):
+        a, b_, c, d, e, f, g_, h = st8
+        Wr, Kr = xs
+        s1 = ror(e, 6) ^ ror(e, 11) ^ ror(e, 25)
+        ch = (e & f) ^ ((~e & M32) & g_)
+        tmp1 = add_pairs([h, s1, ch, Kr])
+        tmp1w = pair_add(tmp1, Wr)
+        te = pair_add(tmp1w, d)
+        s0 = ror(a, 2) ^ ror(a, 13) ^ ror(a, 22)
+        maj = (a & b_) ^ (a & c) ^ (b_ & c)
+        ta_lo, ta_hi = add_pairs([s0, maj, tmp1w[0]])
+        ta = (ta_lo, ta_hi + tmp1w[1])
+        ne, na = te[0], ta[0]
+        ys = (s1, ch, s0, maj, tmp1, tmp1w, te, ta, ne, na)
+        return (na, a, b_, c, ne, e, f, g_), ys
+
+    def block_body(state, Wb):
+        st8 = tuple(state[i] for i in range(8))
+        st8_out, ys = jax.lax.scan(round_body, st8, (Wb, K_arr))
+        fin = jnp.stack(list(st8_out))
+        ft_lo = state + fin
+        ft_hi = (ft_lo < state).astype(U)
+        (s1, ch, s0, maj, tmp1, tmp1w, te, ta, ne, na) = ys
+        cols = {"s1w_": s1, "chw_": ch, "s0w_": s0, "majw_": maj,
+                "new_e": ne, "new_a": na}
+        pcols = {"tmp1": tmp1, "tmp1w": tmp1w, "te": te, "ta": ta}
+        return ft_lo, (state, cols, pcols, (ft_lo, ft_hi))
+
+    init = jnp.asarray(np.asarray(init_state, np.uint32))
+    _, (state_in, cols, pcols, fin_t) = jax.lax.scan(block_body, init, W)
+    # scan ys: each leaf gains a leading nb axis -> cols[k] is (nb, 64)
+    new_e = cols["new_e"]
+    new_a = cols["new_a"]
+    out["new_e"] = (new_e, None)
+    out["new_a"] = (new_a, None)
+    e_in = jnp.concatenate([state_in[:, 4:5], new_e[:, :63]], axis=1) \
+        .reshape(-1)
+    a_in = jnp.concatenate([state_in[:, 0:1], new_a[:, :63]], axis=1) \
+        .reshape(-1)
+    for r in (6, 11, 25):
+        out[f"rot_e_{r}"] = (rot_parts(e_in, r).reshape(nb, 64, 13), None)
+    for r in (2, 13):
+        out[f"rot_a_{r}"] = (rot_parts(a_in, r).reshape(nb, 64, 13), None)
+    out["rnd_s1x"] = (chunks8(cols["s1w_"].reshape(-1)).reshape(nb, 64, 8),
+                      None)
+    out["rnd_chx"] = (chunks8(cols["chw_"].reshape(-1)).reshape(nb, 64, 8),
+                      None)
+    out["rnd_s0x"] = (chunks8(cols["s0w_"].reshape(-1)).reshape(nb, 64, 8),
+                      None)
+    out["rnd_majx"] = (chunks8(cols["majw_"].reshape(-1)).reshape(nb, 64, 8),
+                       None)
+    for k in ("s1w_", "chw_", "s0w_", "majw_"):
+        out["rnd_" + k] = (from_chunks_parts(cols[k].reshape(-1))
+                           .reshape(nb, 64, 3), None)
+    for k in ("tmp1", "tmp1w", "te", "ta"):
+        out["rnd_" + k] = pcols[k]
+    out["rnd_e36"] = (range36_parts(pcols["te"][0].reshape(-1),
+                                    pcols["te"][1].reshape(-1))
+                      .reshape(nb, 64, 12), None)
+    out["rnd_a36"] = (range36_parts(pcols["ta"][0].reshape(-1),
+                                    pcols["ta"][1].reshape(-1))
+                      .reshape(nb, 64, 12), None)
+    out["fin_t"] = fin_t
+    out["fin_hi"] = (fin_t[1], None)
+    state_out = fin_t[0]
+    out["state_out"] = (state_out, None)
+    state_dec = dec_parts(state_out.reshape(-1)).reshape(nb, 8, 10)
+    out["state_dec"] = (state_dec, None)
+    init_dec = dec_parts(init)
+    out["init_dec"] = (init_dec, None)
+
+    dchunks = state_dec[-1, :, :8]
+    dig = []
+    for w in range(8):
+        word_bytes = [(dchunks[w, 2 * i + 1] << U(4)) | dchunks[w, 2 * i]
+                      for i in range(4)]
+        dig.extend(reversed(word_bytes))
+    out["digest"] = (jnp.stack(dig), None)
+
+    flush = jnp.concatenate([out["sch_hi"][0].reshape(-1),
+                             fin_t[1].reshape(-1),
+                             state_dec[:, :, :8].reshape(-1),
+                             init_dec[:, :8].reshape(-1)])
+    pad = (-int(flush.shape[0])) % 3
+    if pad:
+        flush = jnp.concatenate([flush, jnp.zeros(pad, U)])
+    tri = flush.reshape(-1, 3)
+    out["flush_x"] = (tri[:, 0] ^ tri[:, 1] ^ tri[:, 2], None)
+    for k in ("sch_rc36", "rnd_e36", "rnd_a36"):
+        ch = out[k][0][..., :9].reshape(-1, 9)
+        out[k + "_x"] = (ch[:, 0::3] ^ ch[:, 1::3] ^ ch[:, 2::3], None)
+
+    los, his = [], []
+    for (lo, hi) in out.values():
+        los.append(lo.reshape(-1))
+        his.append(hi.reshape(-1) if hi is not None
+                   else jnp.zeros(lo.reshape(-1).shape, U))
+    return jnp.concatenate(los), jnp.concatenate(his)
+
+
 def sha256(cs: ConstraintSystem, input_bytes_vars: np.ndarray,
            table_ids: dict) -> np.ndarray:
     """input_bytes_vars: (len,) byte variable handles (range-checked by the
@@ -548,6 +758,11 @@ def sha256(cs: ConstraintSystem, input_bytes_vars: np.ndarray,
         return _flatten_witness(_sha256_witness(
             np.asarray(vals, _U).reshape(nb, 64), init_state))
 
+    def witness_fn_dev(lo, hi):
+        del hi  # inputs are bytes
+        return _sha256_witness_dev(lo.reshape(-1), nb, init_state)
+
+    witness_fn.device_twin = witness_fn_dev
     cs.set_values_with_dependencies(msg_h, all_h, witness_fn)
 
     # unpack handles with the witness layout

@@ -26,6 +26,14 @@ def allocate_u8_checked_batch(cs: ConstraintSystem, values, table_ids) -> np.nda
         v = vals[0]
         return np.stack([v & np.uint64(0xF), v >> np.uint64(4)])
 
+    def fn_dev(lo, hi):
+        import jax.numpy as jnp
+        del hi
+        v = lo[0]
+        out = jnp.stack([v & jnp.uint32(0xF), v >> jnp.uint32(4)])
+        return out, jnp.zeros_like(out)
+
+    fn.device_twin = fn_dev
     cs.set_values_with_dependencies(bytes_v[None, :], np.stack([los, his]), fn)
     one = ConstantsAllocatorGate.allocate_constant(cs, 1)
     ones = np.full(n, one, np.uint64)
@@ -43,6 +51,13 @@ def allocate_u8_checked_batch(cs: ConstraintSystem, values, table_ids) -> np.nda
     def xor_fn(vals):
         return vals[0] ^ vals[1] ^ vals[2]
 
+    def xor_fn_dev(lo, hi):
+        import jax.numpy as jnp
+        del hi
+        o = lo[0] ^ lo[1] ^ lo[2]
+        return o, jnp.zeros_like(o)
+
+    xor_fn.device_twin = xor_fn_dev
     cs.set_values_with_dependencies(tri, out, xor_fn)
     cs.enforce_lookup_batch(table_ids["tri_xor"],
                             np.concatenate([tri, out[None, :]]))
