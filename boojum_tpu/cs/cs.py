@@ -677,6 +677,9 @@ class ConstraintSystem:
         new = self.resolver.playback(self.resolver.record, overrides)
         new.record = self.resolver.record
         self.resolver = new
+        # the device witness program (prover/device_witness.py) replays the
+        # same record on-chip from the recorded inputs + these overrides
+        self.witness_overrides = dict(overrides)
         self.recount_multiplicities()
 
     def _general_lookup_live_chunks(self):
@@ -750,6 +753,69 @@ class ConstraintSystem:
                 rows = table.lookup_rows(keys)
                 np.add.at(self.lookup_multiplicities[
                     int(tid) - INITIAL_LOOKUP_TABLE_ID_VALUE], rows, 1)
+
+    def lookup_multiplicity_groups(self):
+        """The STATIC structure of recount_multiplicities: yield
+        (tbl_idx, key_places (num_keys, cnt) u64 place handles) for every
+        placed lookup instance grouped by table. Table ids come from
+        constant columns or from the (synthesis-fixed) table-id variables'
+        current values — they are not replay-overridable, so the grouping
+        is valid across replay_witness. Used by the device witness program
+        to count multiplicities on-chip from materialized key values."""
+        lp = self.lookup_parameters
+        if not lp.lookup_is_allowed:
+            return
+        if not lp.is_specialized:
+            marker_idx = self.general_idx_by_name["lookup_formal"]
+            cps = lp.columns_per_subargument()
+            app = np.asarray(self.gates_application_sets, np.int64)
+            rows_all = np.nonzero(app == marker_idx)[0]
+            if rows_all.size == 0:
+                return
+            cap = self.geometry.num_columns_under_copy_permutation // cps
+            vals = self.resolver.values
+            for chunk in range(cap):
+                handles = self.copy_permutation_data[
+                    chunk * cps:(chunk + 1) * cps][:, rows_all]
+                live = (handles[0] & np.uint64(places.PLACEHOLDER_BIT)) == 0
+                if not live.any():
+                    continue
+                handles = handles[:, live]
+                if lp.id_in_constant:
+                    ids = np.asarray(
+                        [self.constants_requested_per_row[r][0]
+                         for r in rows_all[live]], np.uint64)
+                else:
+                    ids = vals[places.index_of(handles[cps - 1])]
+                for tid in np.unique(ids):
+                    table = self.get_table(int(tid))
+                    sel = ids == tid
+                    yield (int(tid) - INITIAL_LOOKUP_TABLE_ID_VALUE,
+                           handles[:table.num_keys][:, sel])
+            return
+        pw = lp.specialized_columns_per_repetition()
+        nrows = self.lookup_next_row
+        if nrows == 0:
+            return
+        vals = self.resolver.values
+        for rep in range(lp.num_repetitions):
+            handles = self.specialized_copy_data[rep * pw:(rep + 1) * pw,
+                                                 :nrows]
+            live = (handles[0] & np.uint64(places.PLACEHOLDER_BIT)) == 0
+            if not live.any():
+                continue
+            handles = handles[:, live]
+            if not lp.id_in_constant:
+                ids = vals[places.index_of(handles[lp.width])]
+            elif lp.share_table_id:
+                ids = self.specialized_constants[0, :nrows][live]
+            else:
+                ids = self.specialized_constants[rep, :nrows][live]
+            for tid in np.unique(ids):
+                table = self.get_table(int(tid))
+                sel = ids == tid
+                yield (int(tid) - INITIAL_LOOKUP_TABLE_ID_VALUE,
+                       handles[:table.num_keys][:, sel])
 
     # -- satisfiability oracle (reference satisfiability_test.rs:15) ---------
 

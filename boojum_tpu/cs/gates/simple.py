@@ -284,6 +284,15 @@ class FmaGate:
             return npgl.add(npgl.mul(npgl.mul_scalar(av, c0), bv),
                             npgl.mul_scalar(cv, c1))
 
+        def fn_dev(lo, hi):
+            from ...field import goldilocks as gl
+            av, bv, cv = (gl.GL(lo[i], hi[i]) for i in range(3))
+            k0 = gl.from_u64(np.uint64(c0))
+            k1 = gl.from_u64(np.uint64(c1))
+            o = gl.add(gl.mul(gl.mul(av, k0), bv), gl.mul(cv, k1))
+            return o.lo, o.hi
+
+        fn.device_twin = fn_dev
         cs.set_values_with_dependencies(np.stack([a, b, c]), d, fn)
         cs.place_general_gate_batch("fma", (c0, c1), [c0, c1],
                                     np.stack([a, b, c, d], axis=1))

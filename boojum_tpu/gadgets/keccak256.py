@@ -66,7 +66,8 @@ class _Keccak:
         return self.g._table3_batch(
             self.g.t["ch"], np.asarray(a, np.uint64), zeros,
             np.asarray(b, np.uint64),
-            lambda v: ((~v[0]) & v[2]) & np.uint64(0xF))
+            lambda v: ((~v[0]) & v[2]) & np.uint64(0xF),
+            dev_fn=lambda lo: (~lo[0] & lo[2]) & 0xF)
 
     def _split_chunks(self, chunks, s: int):
         """Split every chunk at bit s via lookups; returns (lows, highs)."""
@@ -82,6 +83,15 @@ class _Keccak:
                 return np.stack([v & np.uint64((1 << s) - 1),
                                  v >> np.uint64(s)])
 
+            def fn_dev(lo, hi, s=s):
+                del hi
+                import jax.numpy as jnp
+                v = lo[0]
+                o = jnp.stack([v & jnp.uint32((1 << s) - 1),
+                               v >> jnp.uint32(s)])
+                return o, jnp.zeros_like(o)
+
+            fn.device_twin = fn_dev
             cs.set_values_with_dependencies(chunks[None, :],
                                             np.stack([lows, highs]), fn)
             revs = cs.alloc_variables(n)
@@ -90,6 +100,13 @@ class _Keccak:
                 lo, hi = vals
                 return (lo << np.uint64(4 - s)) | hi
 
+            def rev_fn_dev(lo, hi, s=s):
+                del hi
+                import jax.numpy as jnp
+                o = (lo[0] << jnp.uint32(4 - s)) | lo[1]
+                return o, jnp.zeros_like(o)
+
+            rev_fn.device_twin = rev_fn_dev
             cs.set_values_with_dependencies(np.stack([lows, highs]), revs, rev_fn)
             cs.enforce_lookup_batch(
                 g.t[f"split{s}"], np.stack([chunks, lows, highs, revs]))
@@ -100,6 +117,14 @@ class _Keccak:
                 v = vals[0]
                 return np.stack([v & np.uint64(0x7), v >> np.uint64(3)])
 
+            def fn_dev(lo, hi):
+                del hi
+                import jax.numpy as jnp
+                v = lo[0]
+                o = jnp.stack([v & jnp.uint32(0x7), v >> jnp.uint32(3)])
+                return o, jnp.zeros_like(o)
+
+            fn.device_twin = fn_dev
             cs.set_values_with_dependencies(chunks[None, :],
                                             np.stack([lows, highs]), fn)
             keys = cs.alloc_variables(n)
@@ -108,6 +133,13 @@ class _Keccak:
                 lo, hi = vals
                 return (lo << np.uint64(1)) | hi
 
+            def key_fn_dev(lo, hi):
+                del hi
+                import jax.numpy as jnp
+                o = (lo[0] << jnp.uint32(1)) | lo[1]
+                return o, jnp.zeros_like(o)
+
+            key_fn.device_twin = key_fn_dev
             cs.set_values_with_dependencies(np.stack([lows, highs]), keys, key_fn)
             # table1 over key: low1(key) = high, high3(key) = low,
             # reversed(key) = original chunk — binds everything
@@ -122,45 +154,74 @@ class _Keccak:
         z = np.roll(np.asarray(chunks, np.uint64), q)
         if m == 0:
             return z
-        lows, highs = self._split_chunks(z, 4 - m)
-        # y[i] = low[i]·2^m + high[i-1]
+        return self._rotl_group(z[None, :], m)[0]
+
+    def _rotl_group(self, z: np.ndarray, m: int) -> np.ndarray:
+        """Sub-chunk rotate a (g, 16) GROUP of pre-rolled lanes by the SAME
+        m in one split batch + one FMA batch (synthesis is Python-call-bound:
+        per-lane calls made keccak synthesis ~8 s — SURVEY §2.6's 'lean on
+        batching' note)."""
+        g_count = z.shape[0]
+        lows, highs = self._split_chunks(z.reshape(-1), 4 - m)
+        lows = np.asarray(lows, np.uint64).reshape(g_count, CHUNKS_PER_LANE)
+        highs = np.asarray(highs, np.uint64).reshape(g_count, CHUNKS_PER_LANE)
         one = self.g.constant(1)
+        # y[i] = low[i]·2^m + high[i-1] (per lane)
         y = FmaGate.compute_fma_batch(
             self.cs, 1 << m,
-            (np.full(CHUNKS_PER_LANE, one, np.uint64), lows),
-            1, np.roll(highs, 1))
-        return y
+            (np.full(g_count * CHUNKS_PER_LANE, one, np.uint64),
+             lows.reshape(-1)),
+            1, np.roll(highs, 1, axis=1).reshape(-1))
+        return np.asarray(y, np.uint64).reshape(g_count, CHUNKS_PER_LANE)
 
 
 def keccak_f(cs: ConstraintSystem, st: _Keccak, lanes: list) -> list:
-    """keccak-f[1600] on 25 chunked lanes (A[x + 5y] convention)."""
-    A = list(lanes)
+    """keccak-f[1600] on 25 chunked lanes (A[x + 5y] convention).
+
+    Every step batches ALL its lookups into one gadget call per table
+    (theta parities, the 5 D-rotations, the 25 chi terms) and rho+pi lanes
+    group by their sub-chunk shift — ~14 vectorized calls per round instead
+    of ~110 per-lane ones."""
+    A = np.stack([np.asarray(l, np.uint64) for l in lanes])  # (25, 16)
+    shp = (5, 5, CHUNKS_PER_LANE)  # [y, x, chunk] for index x + 5y
     for rnd in range(24):
-        # theta
-        C = []
-        for x in range(5):
-            t = st.xor3(A[x], A[x + 5], A[x + 10])
-            C.append(st.xor3(t, A[x + 15], A[x + 20]))
-        D = []
-        for x in range(5):
-            D.append(st.xor2(C[(x - 1) % 5], st.rotl(C[(x + 1) % 5], 1)))
-        # y-outer/x-inner fills position 5y + x == x + 5y: layout preserved
-        A = [st.xor2(A[x + 5 * y], D[x]) for y in range(5) for x in range(5)]
-        # rho + pi: B[y, 2x+3y] = rotl(A[x, y], r[x][y])
-        B = [None] * 25
+        # theta: C[x] = xor of column x — two xor3 batches over (5, 16)
+        col = A.reshape(shp)
+        t = st.xor3(col[0].reshape(-1), col[1].reshape(-1),
+                    col[2].reshape(-1))
+        C = st.xor3(t, col[3].reshape(-1), col[4].reshape(-1)) \
+            .reshape(5, CHUNKS_PER_LANE)
+        # D[x] = C[x-1] ^ rotl(C[x+1], 1) — one grouped rotation (m=1)
+        rot = st._rotl_group(C[[1, 2, 3, 4, 0]], 1)
+        D = st.xor2(C[[4, 0, 1, 2, 3]].reshape(-1), rot.reshape(-1)) \
+            .reshape(5, CHUNKS_PER_LANE)
+        # A ^= D (broadcast D[x] over y)
+        A = st.xor2(A.reshape(-1),
+                    np.broadcast_to(D[None], shp).reshape(-1)) \
+            .reshape(25, CHUNKS_PER_LANE)
+        # rho + pi: B[y + 5*((2x+3y)%5)] = rotl(A[x + 5y], r[x][y]),
+        # lanes grouped by sub-chunk shift m (same split table per group)
+        B = np.empty_like(A)
+        groups = {}
         for x in range(5):
             for y in range(5):
-                B[y + 5 * ((2 * x + 3 * y) % 5)] = st.rotl(
-                    A[x + 5 * y], _ROT[x][y])
-        # chi
-        A = [None] * 25
-        for y in range(5):
-            for x in range(5):
-                na = st.not_and(B[(x + 1) % 5 + 5 * y], B[(x + 2) % 5 + 5 * y])
-                A[x + 5 * y] = st.xor2(B[x + 5 * y], na)
+                q, m = divmod(_ROT[x][y] % 64, 4)
+                src = np.roll(A[x + 5 * y], q)
+                dst = y + 5 * ((2 * x + 3 * y) % 5)
+                groups.setdefault(m, []).append((dst, src))
+        for m, items in sorted(groups.items()):
+            z = np.stack([s for (_, s) in items])
+            out = z if m == 0 else st._rotl_group(z, m)
+            for (dst, _), row in zip(items, out):
+                B[dst] = row
+        # chi: A[x] = B[x] ^ ((~B[x+1]) & B[x+2]) — one not_and + one xor2
+        Br = B.reshape(shp)
+        na = st.not_and(Br[:, [1, 2, 3, 4, 0]].reshape(-1),
+                        Br[:, [2, 3, 4, 0, 1]].reshape(-1))
+        A = st.xor2(B.reshape(-1), na).reshape(25, CHUNKS_PER_LANE)
         # iota
         A[0] = st.xor2(A[0], st.constant_lane(ROUND_CONSTANTS[rnd]))
-    return A
+    return [A[i] for i in range(25)]
 
 
 def keccak256(cs: ConstraintSystem, input_bytes_vars: np.ndarray,
@@ -193,6 +254,14 @@ def keccak256(cs: ConstraintSystem, input_bytes_vars: np.ndarray,
             v = vals[0]
             return np.stack([v & np.uint64(0xF), v >> np.uint64(4)])
 
+        def fn_dev(lo, hi):
+            del hi
+            import jax.numpy as jnp
+            v = lo[0]
+            o = jnp.stack([v & jnp.uint32(0xF), v >> jnp.uint32(4)])
+            return o, jnp.zeros_like(o)
+
+        fn.device_twin = fn_dev
         cs.set_values_with_dependencies(b[None, :], np.stack([lows, highs]), fn)
         one = g.constant(1)
         FmaGate.enforce_fma_batch(cs, 16, (np.full(k, one, np.uint64), highs),

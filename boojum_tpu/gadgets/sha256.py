@@ -83,14 +83,29 @@ class Sha256Gadget:
         def fn(vals):
             return vals[0] ^ vals[1] ^ vals[2]
 
+        def fn_dev(lo, hi):
+            del hi
+            o = lo[0] ^ lo[1] ^ lo[2]
+            import jax.numpy as jnp
+            return o, jnp.zeros_like(o)
+
+        fn.device_twin = fn_dev
         cs.set_values_with_dependencies(np.stack([a, b, c]), out, fn)
         cs.enforce_lookup_batch(self.t["tri_xor"], np.stack([a, b, c, out]))
         return out
 
-    def _table3_batch(self, tid, a, b, c, np_fn):
+    def _table3_batch(self, tid, a, b, c, np_fn, dev_fn=None):
         cs = self.cs
         a = np.asarray(a, np.uint64)
         out = cs.alloc_variables(a.shape[0])
+        if dev_fn is not None:
+            def twin(lo, hi, dev_fn=dev_fn):
+                del hi
+                import jax.numpy as jnp
+                o = dev_fn(lo)
+                return o, jnp.zeros_like(o)
+
+            np_fn.device_twin = twin
         cs.set_values_with_dependencies(
             np.stack([a, np.asarray(b, np.uint64), np.asarray(c, np.uint64)]),
             out, np_fn)
@@ -100,12 +115,15 @@ class Sha256Gadget:
     def ch_batch(self, a, b, c):
         return self._table3_batch(
             self.t["ch"], a, b, c,
-            lambda v: ((v[0] & v[1]) ^ ((~v[0]) & v[2])) & np.uint64(_MASK4))
+            lambda v: ((v[0] & v[1]) ^ ((~v[0]) & v[2])) & np.uint64(_MASK4),
+            dev_fn=lambda lo: ((lo[0] & lo[1]) ^ (~lo[0] & lo[2])) & 0xF)
 
     def maj_batch(self, a, b, c):
         return self._table3_batch(
             self.t["maj"], a, b, c,
-            lambda v: (v[0] & v[1]) ^ (v[0] & v[2]) ^ (v[1] & v[2]))
+            lambda v: (v[0] & v[1]) ^ (v[0] & v[2]) ^ (v[1] & v[2]),
+            dev_fn=lambda lo: (lo[0] & lo[1]) ^ (lo[0] & lo[2])
+            ^ (lo[1] & lo[2]))
 
     def range_check_chunks(self, chunks):
         """Range-check a list of 4-bit chunk handles in triples via TriXor

@@ -173,6 +173,166 @@ def build_device_tree(cols: GL, cap_size: int) -> "DeviceTree":
 
 
 # ---------------------------------------------------------------------------
+# Device byte-hash trees (Blake2s256 / Keccak-256)
+# ---------------------------------------------------------------------------
+# Reference: src/cs/oracle/mod.rs:179 (Blake2s256) / :247 (Keccak256) — the
+# reference's actual flagship config (sha256_bench_non_recursive.sh) uses the
+# Blake2s tree; these keep that config on the device prover instead of the
+# host byte-tree fallback. Layers are (8, m) u32 digest word planes.
+
+
+@functools.lru_cache(maxsize=None)
+def _bytes_full_tree_jit(k: int, m: int, cap_size: int, algo: str):
+    from ..hash.device_bytes_hash import LEAF_FNS, NODE_FNS
+    leaf_fn, node_fn = LEAF_FNS[algo], NODE_FNS[algo]
+
+    def f(lo, hi):
+        cur = leaf_fn(GL(lo, hi))
+        outs = [cur]
+        while cur.shape[1] > cap_size:
+            cur = node_fn(cur[:, 0::2], cur[:, 1::2])
+            outs.append(cur)
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _bytes_leaf_jit(k: int, m: int, algo: str):
+    from ..hash.device_bytes_hash import LEAF_FNS
+    leaf_fn = LEAF_FNS[algo]
+    return jax.jit(lambda lo, hi: leaf_fn(GL(lo, hi)))
+
+
+@functools.lru_cache(maxsize=None)
+def _bytes_node_jit(m: int, algo: str):
+    from ..hash.device_bytes_hash import NODE_FNS
+    node_fn = NODE_FNS[algo]
+    return jax.jit(lambda cur: node_fn(cur[:, 0::2], cur[:, 1::2]))
+
+
+@functools.lru_cache(maxsize=None)
+def _bytes_tail_jit(m: int, cap_size: int, algo: str):
+    from ..hash.device_bytes_hash import NODE_FNS
+    node_fn = NODE_FNS[algo]
+
+    def f(cur):
+        outs = []
+        while cur.shape[1] > cap_size:
+            cur = node_fn(cur[:, 0::2], cur[:, 1::2])
+            outs.append(cur)
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+def build_device_bytes_tree(cols: GL, cap_size: int,
+                            algo: str) -> "DeviceBytesTree":
+    """Blake2s/Keccak Merkle-cap tree of device leaf columns (k, m); digests
+    bit-identical to the host BytesMerkleTree (hash/merkle.py:99).
+
+    Unlike the Poseidon2 tree, big byte trees always take the SPLIT path
+    (one leaf program per (k, m) + per-size node programs + a fused tail):
+    a full-fuse byte tree is one ~50 s XLA compile PER ORACLE SHAPE, while
+    the node programs here are shared by every oracle and FRI stage."""
+    k, m = cols.shape
+    if m <= _TAIL_FUSE_SIZE:
+        layers = _bytes_full_tree_jit(k, m, cap_size, algo)(cols.lo, cols.hi)
+        return DeviceBytesTree(list(layers), algo)
+    cur = _bytes_leaf_jit(k, m, algo)(cols.lo, cols.hi)
+    layers = [cur]
+    cur_m = m
+    while cur_m > max(_TAIL_FUSE_SIZE, cap_size):
+        cur = _bytes_node_jit(cur_m, algo)(cur)
+        layers.append(cur)
+        cur_m //= 2
+    if cur_m > cap_size:
+        layers.extend(_bytes_tail_jit(cur_m, cap_size, algo)(cur))
+    return DeviceBytesTree(layers, algo)
+
+
+@functools.lru_cache(maxsize=None)
+def _bytes_path_gather_fn(depth):
+    """Sibling-path levels + own leaf digests of one byte tree:
+    -> (depth+1, 8, nq) u32. ``leaves`` rides separately so depth-0 trees
+    (leaf layer == cap) still gather their own leaf digests."""
+
+    def f(idxs, leaves, *layers):
+        outs = []
+        for level in range(depth):
+            sib = (idxs >> level) ^ 1
+            src = leaves if level == 0 else layers[level - 1]
+            outs.append(src[:, sib])
+        outs.append(leaves[:, idxs])
+        return jnp.stack(outs)
+
+    f.gather_key = ("bpath", depth)
+    return f
+
+
+class DeviceBytesTree:
+    """Byte-digest Merkle-cap tree whose layers stay on device; caps/paths
+    cross to host as 32-byte digests (BytesMerkleTree interface)."""
+
+    def __init__(self, layers, algo: str):
+        self.layers = layers  # [(8, m) u32 device arrays], leaf..cap
+        self.algo = algo
+        self._cap_host = None
+        self._path_cache = {}
+
+    @staticmethod
+    def _to_bytes(words):
+        from ..hash.device_bytes_hash import digests_to_bytes
+        return digests_to_bytes(np.asarray(words))
+
+    def get_cap(self):
+        if self._cap_host is None:
+            self._cap_host = self._to_bytes(jax.device_get(self.layers[-1]))
+        return self._cap_host
+
+    def prefetch_cap(self, collector: "FetchCollector"):
+        if self._cap_host is not None:
+            return
+        collector.add(self.layers[-1],
+                      lambda h: setattr(self, "_cap_host", self._to_bytes(h)))
+
+    def prefetch_proofs(self, leaf_indices, collector: "FetchCollector" = None):
+        idxs = np.asarray(sorted(set(int(i) for i in leaf_indices)), np.int64)
+        depth = len(self.layers) - 1  # path excludes the cap layer
+
+        def ingest(host):
+            arr = np.asarray(host)  # (depth+1, 8, nq)
+            for qi, leaf_idx in enumerate(idxs):
+                per_q = arr[:, :, qi]
+                leaf = self._to_bytes(per_q[depth][:, None])[0]
+                path = [self._to_bytes(per_q[level][:, None])[0]
+                        for level in range(depth)]
+                self._path_cache[int(leaf_idx)] = (leaf, path)
+
+        mini = collector or FetchCollector()
+        mini.add_gather(_bytes_path_gather_fn(depth),
+                        (idxs, self.layers[0], *self.layers[1:depth]),
+                        ingest)
+        if collector is None:
+            mini.flush()
+
+    def get_proof(self, idx: int):
+        if idx not in self._path_cache:
+            self.prefetch_proofs([idx])
+        return self._path_cache[int(idx)]
+
+
+def build_any_device_tree(cols: GL, cap_size: int, hasher: str):
+    """Dispatch: algebraic (poseidon2 fused / poseidon host-free) vs byte
+    (blake2s / keccak256) device trees."""
+    if hasher == "poseidon2":
+        return build_device_tree(cols, cap_size)
+    if hasher in ("blake2s", "keccak256"):
+        return build_device_bytes_tree(cols, cap_size, hasher)
+    return AlgebraicMerkleTree.from_leaf_columns(cols, cap_size, hasher)
+
+
+# ---------------------------------------------------------------------------
 # Device FRI
 # ---------------------------------------------------------------------------
 
@@ -240,12 +400,15 @@ def _fold_traced(c0, c1, rl, rh, chs, cosets, k):
 
 
 @functools.lru_cache(maxsize=None)
-def _fold_commit_jit(size: int, k_fold: int, k_leaf: int, cap_size: int):
+def _fold_commit_jit(size: int, k_fold: int, k_leaf: int, cap_size: int,
+                     hasher: str = "poseidon2"):
     """ONE program per FRI round: fold the previous layer by 2^k_fold, form
     the next oracle's leaf columns, hash leaves, and build every node layer.
     Output: folded (c0, c1) + all tree layers. Protocol sequencing forces a
     host sync per round (the cap feeds the transcript before the next
-    challenges), so fusing everything between syncs minimizes roundtrips."""
+    challenges), so fusing everything between syncs minimizes roundtrips.
+    Byte hashers (blake2s/keccak256) emit one (8, m) digest plane per
+    layer instead of the (lo, hi) pairs of the algebraic tree."""
 
     def f(c0l, c0h, c1l, c1h, rl, rh, chs, cosets):
         c0, c1 = _fold_traced(GL(c0l, c0h), GL(c1l, c1h), rl, rh,
@@ -258,13 +421,21 @@ def _fold_commit_jit(size: int, k_fold: int, k_leaf: int, cap_size: int):
                              c1.lo.reshape(tree_size, e).T], axis=0),
             jnp.concatenate([c0.hi.reshape(tree_size, e).T,
                              c1.hi.reshape(tree_size, e).T], axis=0))
-        cols = _pad_cols_to_rate(cols)
-        leaves = _leaf_hashes_traced(cols)
-        outs = [c0.lo, c0.hi, c1.lo, c1.hi, leaves.lo, leaves.hi]
-        cur = leaves
-        while cur.lo.shape[1] > cap_size:
-            cur = _node_layer_traced(cur)
+        outs = [c0.lo, c0.hi, c1.lo, c1.hi]
+        if hasher == "poseidon2":
+            cols = _pad_cols_to_rate(cols)
+            cur = _leaf_hashes_traced(cols)
             outs.extend((cur.lo, cur.hi))
+            while cur.lo.shape[1] > cap_size:
+                cur = _node_layer_traced(cur)
+                outs.extend((cur.lo, cur.hi))
+        else:
+            from ..hash.device_bytes_hash import LEAF_FNS, NODE_FNS
+            cur = LEAF_FNS[hasher](cols)
+            outs.append(cur)
+            while cur.shape[1] > cap_size:
+                cur = NODE_FNS[hasher](cur[:, 0::2], cur[:, 1::2])
+                outs.append(cur)
         return tuple(outs)
 
     return jax.jit(f)
@@ -337,7 +508,8 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
                   file=_sys.stderr, flush=True)
             _t[0] = now
 
-    assert hasher == "poseidon2", "device FRI requires the poseidon2 hasher"
+    assert hasher in ("poseidon2", "blake2s", "keccak256"), \
+        "device FRI requires a device-tree hasher"
     c0 = GL(h_a[0], h_a[1])
     c1 = GL(h_a[2], h_a[3])
     full_size = c0.lo.shape[0]
@@ -351,11 +523,12 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
         size = cur0.lo.shape[0]
         cl, ch = _fri_leaf_cols_jit(size, 1 << k)(cur0.lo, cur0.hi,
                                                   cur1.lo, cur1.hi)
-        if mesh is not None and size // (1 << k) >= mesh.devices.size:
+        if mesh is not None and size // (1 << k) >= mesh.devices.size \
+                and hasher == "poseidon2":
             from ..parallel.sharding import build_sharded_tree
             tree = build_sharded_tree(mesh, GL(cl, ch), cap_size)
         else:
-            tree = _tree_from_leaf_cols(GL(cl, ch), cap_size)
+            tree = build_any_device_tree(GL(cl, ch), cap_size, hasher)
         return DeviceFlatOracle(cur0, cur1, 1 << k, tree)
 
     is_dev_ts = getattr(transcript, "IS_DEVICE", False)
@@ -397,7 +570,9 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
     cur0, cur1 = c0, c1
     if fuse is None:
         fuse = jax.default_backend() != "cpu"
-    fuse = fuse and mesh is None
+    # byte hashers: the fused fold+tree program is another ~30-50 s compile
+    # per stage shape; their split trees share node programs instead
+    fuse = fuse and mesh is None and hasher == "poseidon2"
     chs = cosets = None
     for stage, k in enumerate(schedule):
         if stage == 0 or not fuse:
@@ -410,10 +585,14 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
         else:
             # one program: fold previous layer + hash + build this tree
             size = cur0.lo.shape[0]
-            out = _fold_commit_jit(size, schedule[stage - 1], k, cap_size)(
+            out = _fold_commit_jit(size, schedule[stage - 1], k, cap_size,
+                                   hasher)(
                 cur0.lo, cur0.hi, cur1.lo, cur1.hi, rl, rh, chs, cosets)
             cur0, cur1 = GL(out[0], out[1]), GL(out[2], out[3])
-            tree = DeviceTree(list(zip(out[4::2], out[5::2])))
+            if hasher == "poseidon2":
+                tree = DeviceTree(list(zip(out[4::2], out[5::2])))
+            else:
+                tree = DeviceBytesTree(list(out[4:]), hasher)
             oracle = DeviceFlatOracle(cur0, cur1, 1 << k, tree)
         _v(f"stage {stage} dispatch")
         absorb_cap(oracle)
@@ -473,26 +652,86 @@ def do_fri_device(h_a, transcript, schedule: list[int], lde_factor: int,
 
 
 class FetchCollector:
-    """Batches every pending device->host transfer of the query phase into
-    ONE ``jax.device_get`` (each get is a full tunnel round-trip; the query
-    phase otherwise issues ~10 of them — one per oracle/FRI layer)."""
+    """Batches every pending device-side gather AND device->host transfer of
+    the query phase into ONE jitted dispatch + ONE ``jax.device_get``.
+
+    Round-3 profiling: the query phase issued ~25 small gather dispatches
+    (4 leaf-row gathers + 10 tree-path gathers + 6 FRI chunk gathers + value
+    stacks) at ~20-40 ms tunnel latency each — 1.1 s of the 2.6 s prove.
+    Entries registered with ``add_gather(fn, args, cb)`` run their traced
+    gather INSIDE one shared jit program (cached per shape signature, so one
+    compile serves every prove); ``add(arrays, cb)`` entries pass through
+    unchanged. Callbacks receive the host values at ``flush()``."""
 
     def __init__(self):
         self._items = []
 
     def add(self, dev_arrays, callback):
-        self._items.append((dev_arrays, callback))
+        """Identity entry: fetch already-computed device arrays."""
+        arrs = (tuple(dev_arrays) if isinstance(dev_arrays, (tuple, list))
+                else (dev_arrays,))
+        unwrap = not isinstance(dev_arrays, (tuple, list))
+        self._items.append((None, arrs, callback, unwrap))
+
+    def add_gather(self, fn, args, callback):
+        """Deferred gather: ``fn(*args)`` runs inside the shared program.
+        ``fn`` must carry a stable ``gather_key`` attribute (builders below
+        are lru_cached, so identical keys imply identical fn objects)."""
+        self._items.append((fn, tuple(args), callback, False))
 
     def flush(self):
-        host = jax.device_get([d for (d, _) in self._items])
-        for (_, cb), h in zip(self._items, host):
-            cb(h)
+        if not self._items:
+            return
+        key = tuple((getattr(fn, "gather_key", ("id", len(args))),
+                     tuple((tuple(np.shape(a)), str(np.asarray(a).dtype)
+                            if not hasattr(a, "dtype") else str(a.dtype))
+                           for a in args))
+                    for (fn, args, _, _) in self._items)
+        entry = _COMBINED_GATHERS.get(key)
+        if entry is None:
+            fns = [fn for (fn, _, _, _) in self._items]
+            counts = [len(args) for (_, args, _, _) in self._items]
+
+            def combined(*flat):
+                outs = []
+                i = 0
+                for fn, c in zip(fns, counts):
+                    chunk = flat[i:i + c]
+                    i += c
+                    outs.append(fn(*chunk) if fn is not None else chunk)
+                return tuple(outs)
+
+            entry = jax.jit(combined)
+            _COMBINED_GATHERS[key] = entry
+        flat = [a for (_, args, _, _) in self._items for a in args]
+        host = jax.device_get(entry(*flat))
+        for (_, _, cb, unwrap), h in zip(self._items, host):
+            cb(h[0] if unwrap else h)
         self._items = []
 
 
+_COMBINED_GATHERS = {}
+
+
+def _rows_gather_fn(lo, hi, idx):
+    """Leaf-row gather for DeviceOracle.query_many: -> (2, q, k)."""
+    return jnp.stack((lo[idx], hi[idx]))
+
+
+_rows_gather_fn.gather_key = ("rows",)
+
+
+def _chunks_gather_fn(c0l, c0h, c1l, c1h, gidx):
+    """FRI leaf-chunk gather: -> (4, q*e)."""
+    return jnp.stack((c0l[gidx], c0h[gidx], c1l[gidx], c1h[gidx]))
+
+
+_chunks_gather_fn.gather_key = ("chunks",)
+
+
 @functools.lru_cache(maxsize=None)
-def _path_gather_jit(depth):
-    """All sibling-path levels + own leaves of one tree in ONE dispatch:
+def _path_gather_fn(depth):
+    """All sibling-path levels + own leaves of one algebraic tree:
     (idxs, leaves_lo, leaves_hi, nodes_lo, nodes_hi, ...) ->
     (depth+1, 2, 4, nq) u32 (levels 0..depth-1 are siblings, last is own)."""
 
@@ -508,7 +747,8 @@ def _path_gather_jit(depth):
         outs.append(jnp.stack((leaf_lo[:, idxs], leaf_hi[:, idxs])))
         return jnp.stack(outs)
 
-    return jax.jit(f)
+    f.gather_key = ("path", depth)
+    return f
 
 
 class DeviceTree:
@@ -552,16 +792,13 @@ class DeviceTree:
         collector.add(self.layers[-1], ingest)
 
     def prefetch_proofs(self, leaf_indices, collector: FetchCollector = None):
-        """Gather every queried leaf + sibling path in ONE device dispatch;
-        the host transfer is immediate, or deferred into ``collector`` so
-        several trees share a single ``device_get``."""
+        """Gather every queried leaf + sibling path inside the collector's
+        shared program (ONE dispatch + ONE device_get across all trees)."""
         idxs = np.asarray(sorted(set(int(i) for i in leaf_indices)), np.int64)
         depth = len(self.layers) - 1  # path excludes the cap layer
         flat_layers = []
         for level in range(1, depth):
             flat_layers.extend(self.layers[level])
-        dev = _path_gather_jit(depth)(jnp.asarray(idxs), *self.layers[0],
-                                      *flat_layers)
 
         def ingest(host):
             arr = np.asarray(host)
@@ -573,10 +810,11 @@ class DeviceTree:
                         for level in range(depth)]
                 self._path_cache[int(leaf_idx)] = (leaf, path)
 
+        mini = collector or FetchCollector()
+        mini.add_gather(_path_gather_fn(depth),
+                        (idxs, *self.layers[0], *flat_layers), ingest)
         if collector is None:
-            ingest(jax.device_get(dev))
-        else:
-            collector.add(dev, ingest)
+            mini.flush()
 
     def get_proof(self, idx: int):
         if idx not in self._path_cache:
@@ -601,12 +839,11 @@ class DeviceFlatOracle:
     def prefetch(self, flat_indices, collector: FetchCollector = None):
         e = self.elems_per_leaf
         leaf_idxs = sorted(set(int(i) // e for i in flat_indices))
-        self.tree.prefetch_proofs(leaf_idxs, collector)
+        mini = collector or FetchCollector()
+        self.tree.prefetch_proofs(leaf_idxs, mini)
         starts = np.asarray(leaf_idxs, np.int64)[:, None] * e + \
             np.arange(e)[None, :]
-        gidx = jnp.asarray(starts.reshape(-1))
-        dev = jnp.stack((self.c0.lo[gidx], self.c0.hi[gidx],
-                         self.c1.lo[gidx], self.c1.hi[gidx]))
+        gidx = starts.reshape(-1)
 
         def ingest(host):
             outs = np.asarray(host)
@@ -618,10 +855,11 @@ class DeviceFlatOracle:
                 self._chunk_cache[li] = ([int(x) for x in v0[row]],
                                          [int(x) for x in v1[row]])
 
+        mini.add_gather(_chunks_gather_fn,
+                        (self.c0.lo, self.c0.hi, self.c1.lo, self.c1.hi,
+                         gidx), ingest)
         if collector is None:
-            ingest(jax.device_get(dev))
-        else:
-            collector.add(dev, ingest)
+            mini.flush()
 
     def query(self, flat_idx: int):
         from .proof import OracleQuery

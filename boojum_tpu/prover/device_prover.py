@@ -155,55 +155,422 @@ class DeviceProver:
         if key in self._gate_jits:
             return self._gate_jits[key]
         import jax
-        import jax.numpy as jnp_
-        dv, dw, dc = ev.per_chunk_offset
-        nv_, nw_ = ev.num_variables, ev.num_witnesses
-        nc_ = max(ev.num_constants, _consts_read(ev))
-        T = ev.num_quotient_terms
-        if spec_base is not None:
-            var_idx = np.asarray([[spec_base + r * nv_ + i
-                                   for r in range(reps)] for i in range(nv_)])
-        else:
-            var_idx = np.asarray([[base_var + r * dv + i
-                                   for r in range(reps)] for i in range(nv_)])
-        wit_idx = np.asarray([[base_wit + r * dw + i for r in range(reps)]
-                              for i in range(nw_)])
-        const_idx = np.asarray([[base_const + r * dc + i
-                                 for r in range(reps)] for i in range(nc_)])
-
-        def fn(w_lo, w_hi, s_lo, s_hi, sel_lo, sel_hi, alphas):
-            vars_ = [GL(w_lo[:, var_idx[i]], w_hi[:, var_idx[i]])
-                     for i in range(nv_)]
-            wits = [GL(w_lo[:, wit_idx[i]], w_hi[:, wit_idx[i]])
-                    for i in range(nw_)]
-            consts = [GL(s_lo[:, const_idx[i]], s_hi[:, const_idx[i]])
-                      for i in range(nc_)]
-            src = TraceView(vars_, wits, consts)
-            terms = ev.evaluate(src, GLOps)
-            size = w_lo.shape[0]
-            acc0 = gl.zeros((size, reps))
-            acc1 = gl.zeros((size, reps))
-            # alpha for (rep r, term t) = alphas[r*T + t] (rep-major order)
-            al = alphas.reshape(reps, T, 2, 2)
-            for t, term in enumerate(terms):
-                term = GL(jnp_.broadcast_to(term.lo, (size, reps)),
-                          jnp_.broadcast_to(term.hi, (size, reps)))
-                a0 = GL(jnp_.broadcast_to(al[None, :, t, 0, 0], (size, reps)),
-                        jnp_.broadcast_to(al[None, :, t, 0, 1], (size, reps)))
-                a1 = GL(jnp_.broadcast_to(al[None, :, t, 1, 0], (size, reps)),
-                        jnp_.broadcast_to(al[None, :, t, 1, 1], (size, reps)))
-                acc0 = gl.add(acc0, gl.mul(term, a0))
-                acc1 = gl.add(acc1, gl.mul(term, a1))
-            s0 = device._sum_gl(acc0, axis=1)
-            s1 = device._sum_gl(acc1, axis=1)
-            sel = GL(sel_lo, sel_hi)
-            s0 = gl.mul(s0, sel)
-            s1 = gl.mul(s1, sel)
-            return s0.lo, s0.hi, s1.lo, s1.hi
-
-        j = jax.jit(fn)
+        j = jax.jit(_gate_sweep_body(ev, reps, base_var, base_wit,
+                                     base_const, spec_base))
         self._gate_jits[key] = j
         return j
+
+    # -- fused full-quotient program -----------------------------------------
+
+    def _quotient_full_fn(self):
+        """ONE jitted program for the ENTIRE quotient stage: lookup terms,
+        every gate sweep (selector products traced inline), copy-permutation
+        boundary+recurrences, vanishing division, the full-domain coset iNTT
+        and the (n, 2qd) monomial re-layout. Replaces ~12 executables + ~20
+        eager EV-op dispatches — cold start pays ~1-4 s PER executable to
+        load over the device tunnel (round-3 cold prove was 502 s), and warm
+        dispatch latency is ~20-40 ms each."""
+        key = "__quotient_full__"
+        if key in self._gate_jits:
+            return self._gate_jits[key]
+        import jax
+        import jax.numpy as jnp
+
+        cs, sb = self.cs, self.artifacts.setup_base
+        geometry = cs.geometry
+        lp = cs.lookup_parameters
+        n, qd = self.n, self.qd
+        size = qd * n
+        num_lookup_subargs = lp.num_sublookup_arguments_for_geometry(geometry)
+        num_rel = self.num_intermediates + 1
+        a_off = 2 * (1 + self.num_intermediates)
+        lookup_spec_cols = cs.specialized_copy_data.shape[0] \
+            if cs.specialized_copy_data is not None else 0
+
+        lookup_body = None
+        lookup_has_sel = False
+        n_lk = 0
+        if lp.lookup_is_allowed:
+            width = lp.lookup_width()
+            if lp.is_specialized:
+                pw = lp.specialized_columns_per_repetition()
+                base_off = geometry.num_columns_under_copy_permutation
+            else:
+                pw = lp.columns_per_subargument()
+                base_off = 0
+                lookup_has_sel = True
+            lookup_body = _lookup_quotient_body(
+                size, num_lookup_subargs, width, pw, base_off, a_off,
+                bool(lp.id_in_constant), lookup_has_sel, self.num_table,
+                tuple(self.num_var + i for i in sb.table_ids_column_idxes)
+                if lp.id_in_constant else (0,),
+                self.num_var + self.num_const,
+                self.num_var + self.num_wit)
+            n_lk = num_lookup_subargs + 1
+
+        spec_sweeps = []  # (body, n_terms)
+        for (snm, sstart, sreps) in cs.gate_spec_layout:
+            sev = cs.evaluators_specialized[cs.specialized_idx_by_name[snm]]
+            base = geometry.num_columns_under_copy_permutation \
+                + lookup_spec_cols + sstart
+            spec_sweeps.append((_gate_sweep_body(sev, sreps, 0, 0, 0,
+                                                 spec_base=base),
+                                sev.num_quotient_terms * sreps))
+        gen_sweeps = []  # (body, path, n_terms)
+        for ev_idx, ev in enumerate(cs.evaluators_general):
+            if ev.num_quotient_terms == 0:
+                continue
+            path = tuple(sb.selector_paths[ev_idx])
+            reps = ev.num_repetitions(geometry)
+            gen_sweeps.append((_gate_sweep_body(
+                ev, reps, 0, self.num_var, self.num_var + len(path)),
+                path, ev.num_quotient_terms * reps))
+        cp_body = _copyperm_quotient_body(size, n, qd, self.num_var,
+                                          self.num_intermediates)
+        intt = _intt_coset_body(size.bit_length() - 1)
+        num_var = self.num_var
+
+        def f(w_lo, w_hi, s_lo, s_hi, g2_lo, g2_hi, x_lo, x_hi, nrl, nrh,
+              zs0l, zs0h, zs1l, zs1h, l1_lo, l1_hi, van_lo, van_hi,
+              beta, gamma, lbeta, gpow, alphas):
+            sel_cache = {}
+
+            def selector_product(path):
+                if path not in sel_cache:
+                    prod = None
+                    for k_, bit in enumerate(path):
+                        c = GL(s_lo[:, num_var + k_], s_hi[:, num_var + k_])
+                        if not bit:
+                            c = gl.sub(gl.ones((size,)), c)
+                        prod = c if prod is None else gl.mul(prod, c)
+                    if prod is None:
+                        prod = gl.ones((size,))
+                    sel_cache[path] = prod
+                return sel_cache[path]
+
+            acc0 = gl.zeros((size,))
+            acc1 = gl.zeros((size,))
+            ai = 0
+            if lookup_body is not None:
+                if lookup_has_sel:
+                    sel = selector_product(tuple(sb.selector_paths[0]))
+                    sl_, sh_ = sel.lo, sel.hi
+                else:
+                    sl_ = sh_ = jnp.zeros((size,), jnp.uint32)
+                out = lookup_body(w_lo, w_hi, s_lo, s_hi, g2_lo, g2_hi,
+                                  sl_, sh_, lbeta, gpow,
+                                  alphas[ai:ai + n_lk])
+                acc0 = gl.add(acc0, GL(out[0], out[1]))
+                acc1 = gl.add(acc1, GL(out[2], out[3]))
+                ai += n_lk
+            ones = gl.ones((size,))
+            for body, n_terms in spec_sweeps:
+                out = body(w_lo, w_hi, s_lo, s_hi, ones.lo, ones.hi,
+                           alphas[ai:ai + n_terms])
+                acc0 = gl.add(acc0, GL(out[0], out[1]))
+                acc1 = gl.add(acc1, GL(out[2], out[3]))
+                ai += n_terms
+            for body, path, n_terms in gen_sweeps:
+                sel = selector_product(path)
+                out = body(w_lo, w_hi, s_lo, s_hi, sel.lo, sel.hi,
+                           alphas[ai:ai + n_terms])
+                acc0 = gl.add(acc0, GL(out[0], out[1]))
+                acc1 = gl.add(acc1, GL(out[2], out[3]))
+                ai += n_terms
+            out = cp_body(w_lo, w_hi, s_lo, s_hi, x_lo, x_hi, nrl, nrh,
+                          g2_lo, g2_hi, zs0l, zs0h, zs1l, zs1h,
+                          l1_lo, l1_hi, beta, gamma,
+                          alphas[ai:ai + 1 + num_rel])
+            acc0 = gl.add(acc0, GL(out[0], out[1]))
+            acc1 = gl.add(acc1, GL(out[2], out[3]))
+            # vanishing division + coset iNTT + (n, 2qd) monomial layout
+            van = GL(van_lo, van_hi)
+            acc0 = gl.mul(acc0, van)
+            acc1 = gl.mul(acc1, van)
+            both = intt(GL(jnp.stack([acc0.lo, acc1.lo], axis=1),
+                           jnp.stack([acc0.hi, acc1.hi], axis=1)))
+            q0l = both.lo[:, 0].reshape(qd, n)
+            q0h = both.hi[:, 0].reshape(qd, n)
+            q1l = both.lo[:, 1].reshape(qd, n)
+            q1h = both.hi[:, 1].reshape(qd, n)
+            out_lo = jnp.stack([q0l, q1l], axis=1).reshape(2 * qd, n).T
+            out_hi = jnp.stack([q0h, q1h], axis=1).reshape(2 * qd, n).T
+            return out_lo, out_hi
+
+        j = jax.jit(f)
+        self._gate_jits[key] = (j, n_lk + sum(t for _, t in spec_sweeps)
+                                + sum(t for _, _, t in gen_sweeps)
+                                + 1 + num_rel)
+        return self._gate_jits[key]
+
+    def _quotient_rolled(self, w_flat, s_flat, g2_flat, x_lde, l1, vanish,
+                         z_shift, size, total_terms, num_lookup_subargs,
+                         width, pw, base_off, alpha_arrs, gpow_a, beta_a,
+                         gamma_a, lookup_beta, use_dev_ts=False,
+                         alpha_table=None, lbeta_a=None, gpow_arr_dev=None):
+        """Per-phase quotient accumulation (the pre-round-4 path): one
+        program per phase when self.fuse (the mesh path and the CPU fused
+        configuration, incl. the device transcript where the challenge
+        tables are device arrays), else one dispatch per gate repetition.
+        The single-device accelerator path uses _quotient_full_fn instead."""
+        import jax.numpy as jnp
+
+        cs, sb = self.cs, self.artifacts.setup_base
+        lp = cs.lookup_parameters
+        geometry = cs.geometry
+        n, qd = self.n, self.qd
+        nrl, nrh = self._prove_invariant["nr_limbs"]
+
+        def fcol(m, j):
+            return m.lo[:, j], m.hi[:, j]
+
+        if use_dev_ts:
+            def alpha_slice(start, count):
+                return alpha_table[start:start + count]
+        else:
+            def alpha_slice(start, count):
+                return jnp.asarray(np.stack(alpha_arrs[start:start + count]))
+
+        if lbeta_a is None:
+            lbeta_a = scalar_ext(lookup_beta)
+        acc = EV.const((0, 0), (size,))
+        ai = 0
+        from .jit_ops import (jext_mul_base, jext_sub_one_c0, jscale_base,
+                              jext_scale)
+
+        if lp.lookup_is_allowed:
+            if lp.is_specialized:
+                sel_flat = None
+            else:
+                marker_path = sb.selector_paths[0]
+                sel_flat = gl.ones((size,)).astuple()
+                for k_, bit in enumerate(marker_path):
+                    c_lo, c_hi = fcol(s_flat, self.num_var + k_)
+                    if not bit:
+                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
+                    sel_flat = jbase_mul(sel_flat[0], sel_flat[1], c_lo, c_hi)
+            a_off = 2 * (1 + self.num_intermediates)
+            if self.fuse:
+                # all lookup terms in one program
+                lk = _lookup_quotient_jit(
+                    size, num_lookup_subargs, width, pw, base_off, a_off,
+                    bool(lp.id_in_constant), sel_flat is not None,
+                    self.num_table,
+                    tuple(self.num_var + i
+                          for i in sb.table_ids_column_idxes)
+                    if lp.id_in_constant else (0,),
+                    self.num_var + self.num_const,
+                    self.num_var + self.num_wit)
+                n_lk = num_lookup_subargs + 1
+                lk_alphas = alpha_slice(ai, n_lk)
+                zero_s = jnp.zeros((size,), jnp.uint32)
+                out = lk(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                         g2_flat.lo, g2_flat.hi,
+                         sel_flat[0] if sel_flat is not None else zero_s,
+                         sel_flat[1] if sel_flat is not None else zero_s,
+                         jnp.asarray(lbeta_a),
+                         gpow_arr_dev if use_dev_ts
+                         else jnp.asarray(np.stack(gpow_a)), lk_alphas)
+                acc = acc + EV(*out)
+                ai += n_lk
+            else:
+                for rep in range(num_lookup_subargs):
+                    agg = EV.const(lookup_beta, (size,))
+                    for i in range(pw):
+                        c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
+                        agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
+                    if lp.id_in_constant:
+                        idxes = sb.table_ids_column_idxes
+                        tid_idx = self.num_var + \
+                            idxes[min(rep, len(idxes) - 1)]
+                        t_lo, t_hi = fcol(s_flat, tid_idx)
+                        agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
+                    a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
+                                g2_flat.hi[:, a_off + 2 * rep],
+                                g2_flat.lo[:, a_off + 2 * rep + 1],
+                                g2_flat.hi[:, a_off + 2 * rep + 1])
+                    prod = a_poly * agg
+                    if sel_flat is None:
+                        term = EV(*jext_sub_one_c0(*prod.a))
+                    else:
+                        z_ = jnp.zeros_like(sel_flat[0])
+                        term = prod - EV(sel_flat[0], sel_flat[1], z_, z_)
+                    acc = acc + term.scale(alpha_arrs[ai])
+                    ai += 1
+                agg_t = EV.const(lookup_beta, (size,))
+                tbl_base = self.num_var + self.num_const
+                for i in range(self.num_table):
+                    t_lo, t_hi = fcol(s_flat, tbl_base + i)
+                    agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
+                b_off = a_off + 2 * num_lookup_subargs
+                b_poly = EV(g2_flat.lo[:, b_off], g2_flat.hi[:, b_off],
+                            g2_flat.lo[:, b_off + 1], g2_flat.hi[:, b_off + 1])
+                term = b_poly * agg_t
+                m_lo, m_hi = fcol(w_flat, self.num_var + self.num_wit)
+                mz = jnp.zeros_like(m_lo)
+                term = term - EV(m_lo, m_hi, mz, mz)
+                acc = acc + term.scale(alpha_arrs[ai])
+                ai += 1
+
+        # general gates × selector products
+        sel_cache = {}
+
+        def selector_product(path):
+            key = tuple(path)
+            if key not in sel_cache:
+                prod = None
+                for k, bit in enumerate(path):
+                    c_lo, c_hi = fcol(s_flat, self.num_var + k)
+                    if not bit:
+                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
+                    prod = (c_lo, c_hi) if prod is None else \
+                        jbase_mul(prod[0], prod[1], c_lo, c_hi)
+                if prod is None:
+                    ones = gl.ones((size,))
+                    prod = (ones.lo, ones.hi)
+                sel_cache[key] = prod
+            return sel_cache[key]
+
+        lookup_spec_cols = cs.specialized_copy_data.shape[0] \
+            if cs.specialized_copy_data is not None else 0
+        ones_s = gl.ones((size,))
+        for (snm, sstart, sreps) in cs.gate_spec_layout:
+            sev = cs.evaluators_specialized[cs.specialized_idx_by_name[snm]]
+            base = geometry.num_columns_under_copy_permutation \
+                + lookup_spec_cols + sstart
+            n_terms = sev.num_quotient_terms * sreps
+            if self.fuse:
+                sweep = self._gate_sweep_fn(sev, sreps, 0, 0, 0, 0,
+                                            spec_base=base)
+                al = alpha_slice(ai, n_terms)
+                out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                            ones_s.lo, ones_s.hi, al)
+                acc = acc + EV(*out)
+                ai += n_terms
+            else:
+                rep_fn = self._gate_rep_fn(sev)
+                for rep in range(sreps):
+                    cols = [fcol(w_flat, base + rep * sev.num_variables + i)
+                            for i in range(sev.num_variables)]
+                    terms = rep_fn([c[0] for c in cols], [c[1] for c in cols],
+                                   [], [], [], [])
+                    for t_i in range(len(terms) // 2):
+                        t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
+                        acc = acc + EV(*jscale_base(t_lo, t_hi, alpha_arrs[ai]))
+                        ai += 1
+
+        for ev_idx, ev in enumerate(cs.evaluators_general):
+            if ev.num_quotient_terms == 0:
+                continue
+            path = sb.selector_paths[ev_idx]
+            sel = selector_product(path)
+            reps = ev.num_repetitions(geometry)
+            n_terms = ev.num_quotient_terms * reps
+            if self.fuse:
+                sweep = self._gate_sweep_fn(
+                    ev, reps, len(path), 0, self.num_var,
+                    self.num_var + len(path))
+                al = alpha_slice(ai, n_terms)
+                out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                            sel[0], sel[1], al)
+                acc = acc + EV(*out)
+                ai += n_terms
+                continue
+            rep_fn = self._gate_rep_fn(ev)
+            dv, dw, dc = ev.per_chunk_offset
+            for rep in range(reps):
+                var_cols = [fcol(w_flat, rep * dv + i)
+                            for i in range(ev.num_variables)]
+                wit_cols = [fcol(w_flat, self.num_var + rep * dw + i)
+                            for i in range(ev.num_witnesses)]
+                const_cols = [fcol(s_flat, self.num_var + len(path) + rep * dc + i)
+                              for i in range(max(ev.num_constants,
+                                                 _consts_read(ev)))]
+                terms = rep_fn([c[0] for c in var_cols], [c[1] for c in var_cols],
+                               [c[0] for c in wit_cols], [c[1] for c in wit_cols],
+                               [c[0] for c in const_cols],
+                               [c[1] for c in const_cols])
+                for t_i in range(len(terms) // 2):
+                    t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
+                    c_lo, c_hi = jbase_mul(t_lo, t_hi, sel[0], sel[1])
+                    acc = acc + EV(*jscale_base(c_lo, c_hi, alpha_arrs[ai]))
+                    ai += 1
+
+        # copy-permutation boundary + recurrences
+
+
+        num_rel = self.num_intermediates + 1
+        if self.fuse:
+            # boundary + all recurrence relations in one program
+            cp = _copyperm_quotient_jit(size, n, qd, self.num_var,
+                                        self.num_intermediates)
+            cp_alphas = alpha_slice(ai, 1 + num_rel)
+            out = cp(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                     x_lde.lo, x_lde.hi, nrl, nrh,
+                     g2_flat.lo, g2_flat.hi,
+                     z_shift.a[0], z_shift.a[1], z_shift.a[2], z_shift.a[3],
+                     l1.lo, l1.hi, jnp.asarray(beta_a), jnp.asarray(gamma_a),
+                     cp_alphas)
+            acc = acc + EV(*out)
+            ai += 1 + num_rel
+        else:
+            z_flat = EV(g2_flat.lo[:, 0], g2_flat.hi[:, 0],
+                        g2_flat.lo[:, 1], g2_flat.hi[:, 1])
+            zm1 = EV(*jext_sub_one_c0(*z_flat.a))
+            acc = acc + EV(*jext_mul_base(*zm1.a, l1.lo, l1.hi)) \
+                .scale(alpha_arrs[ai])
+            ai += 1
+            inters = [EV(g2_flat.lo[:, 2 + 2 * i], g2_flat.hi[:, 2 + 2 * i],
+                         g2_flat.lo[:, 3 + 2 * i], g2_flat.hi[:, 3 + 2 * i])
+                      for i in range(self.num_intermediates)]
+            lhs_list = inters + [z_shift]
+            rhs_list = [z_flat] + inters
+            for rel_idx, (lhs, rhs) in enumerate(zip(lhs_list, rhs_list)):
+                lhs_acc, rhs_acc = lhs, rhs
+                for j in range(rel_idx * qd,
+                               min((rel_idx + 1) * qd, self.num_var)):
+                    w_lo, w_hi = fcol(w_flat, j)
+                    sg_lo, sg_hi = fcol(s_flat, j)
+                    den = EV(*jaffine(w_lo, w_hi, sg_lo, sg_hi, beta_a, gamma_a))
+                    nr = scalar_ext((self.non_res[j], 0))
+                    bx_lo, bx_hi = jbase_mul(
+                        x_lde.lo, x_lde.hi,
+                        jnp.broadcast_to(jnp.uint32(nr[0, 0]), (size,)),
+                        jnp.broadcast_to(jnp.uint32(nr[0, 1]), (size,)))
+                    num_ = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
+                    lhs_acc = lhs_acc * den
+                    rhs_acc = rhs_acc * num_
+                acc = acc + (lhs_acc - rhs_acc).scale(alpha_arrs[ai])
+                ai += 1
+        assert ai == total_terms
+
+        # vanishing division + full-domain iNTT -> quotient monomials
+        acc = EV(*jext_mul_base(*acc.a, vanish.lo, vanish.hi))
+        plan_log = size.bit_length() - 1
+        both = _intt_coset_jit(plan_log)(
+            GL(jnp.stack([acc.a[0], acc.a[2]], axis=1),
+               jnp.stack([acc.a[1], acc.a[3]], axis=1)))
+        q0 = GL(both.lo[:, :1], both.hi[:, :1])
+        q1 = GL(both.lo[:, 1:], both.hi[:, 1:])
+        if cs.config.runtime_asserts:
+            top0 = int(np.asarray(q0.lo[-1, 0])) | \
+                (int(np.asarray(q0.hi[-1, 0])) << 32)
+            top1 = int(np.asarray(q1.lo[-1, 0])) | \
+                (int(np.asarray(q1.hi[-1, 0])) << 32)
+            if top0 != 0 or top1 != 0:
+                # DEBUG_SATISFIABLE analogue (reference src/config.rs:7)
+                cs.check_if_satisfied(verbose=True)
+                raise AssertionError(
+                    "unsatisfied circuit (see row report above)")
+
+        qcols_lo, qcols_hi = [], []
+        for k in range(qd):
+            qcols_lo.append(q0.lo[k * n:(k + 1) * n, 0])
+            qcols_hi.append(q0.hi[k * n:(k + 1) * n, 0])
+            qcols_lo.append(q1.lo[k * n:(k + 1) * n, 0])
+            qcols_hi.append(q1.hi[k * n:(k + 1) * n, 0])
+        q_monos = GL(jnp.stack(qcols_lo, axis=1), jnp.stack(qcols_hi, axis=1))
+        return q_monos
 
     # -- the prove pipeline --------------------------------------------------
 
@@ -278,19 +645,42 @@ class DeviceProver:
             else:
                 transcript.witness_merkle_tree_cap(oracle.get_cap())
 
-        variables_cols, witness_cols, mult_cols = \
-            materialize_witness_columns(cs, n)
-        publics = []
-        for (col, row) in cs.public_inputs:
-            publics.append((col, row, int(variables_cols[col, row])))
-        public_values = [v for (_, _, v) in publics]
-        transcript.witness_field_elements(public_values)
+        # on-device witness materialization: when every resolver node has a
+        # device twin (reference take_witness_using_hints parity,
+        # src/cs/implementations/witness.rs:325), the whole witness program
+        # runs on-chip and only the kB-scale circuit inputs cross the tunnel
+        # (the ~30 MB column upload dominated the round-3 stage split)
+        if "dev_witness" not in self._prove_invariant:
+            from .device_witness import DeviceWitnessProgram
+            self._prove_invariant["dev_witness"] = (
+                DeviceWitnessProgram(cs, n)
+                if self.mesh is None and DeviceWitnessProgram.supported(cs)
+                else None)
+        dev_witness = self._prove_invariant["dev_witness"]
+        if dev_witness is not None:
+            publics = []  # DeviceWitnessProgram.supported excludes publics
+            public_values = []
+            transcript.witness_field_elements(public_values)
+            lagrange_dev = dev_witness(getattr(cs, "witness_overrides", None))
+            _sync("witness materialize")
+            witness_oracle = DeviceOracle(None, used_lde, cap_size, hasher,
+                                          tree_lde=fri_lde,
+                                          lagrange_dev=lagrange_dev)
+        else:
+            variables_cols, witness_cols, mult_cols = \
+                materialize_witness_columns(cs, n)
+            publics = []
+            for (col, row) in cs.public_inputs:
+                publics.append((col, row, int(variables_cols[col, row])))
+            public_values = [v for (_, _, v) in publics]
+            transcript.witness_field_elements(public_values)
 
-        _sync("witness materialize")
-        witness_src = np.concatenate(
-            [variables_cols, witness_cols, mult_cols], axis=0)
-        witness_oracle = self._make_oracle(witness_src, used_lde, cap_size,
-                                           hasher, tree_lde=fri_lde)
+            _sync("witness materialize")
+            witness_src = np.concatenate(
+                [variables_cols, witness_cols, mult_cols], axis=0)
+            witness_oracle = self._make_oracle(witness_src, used_lde,
+                                               cap_size, hasher,
+                                               tree_lde=fri_lde)
         absorb_cap(witness_oracle)
 
         _stage("witness oracle")
@@ -544,7 +934,7 @@ class DeviceProver:
 
             def alpha_slice(start, count):
                 return jnp.asarray(np.stack(alpha_arrs[start:start + count]))
-        ai = 0
+        del alpha_slice  # per-path helpers slice the tables directly
 
         # -- quotient over the (qd·n) flat LDE --------------------------------
         size = qd * n
@@ -557,179 +947,28 @@ class DeviceProver:
             x_lde = gl.from_u64(device.x_poly_lde_host(n, qd).reshape(-1))
             self._prove_invariant["x_lde"] = x_lde
 
-        def fcol(m, j):
-            return m.lo[:, j], m.hi[:, j]
-
-        acc = EV.const((0, 0), (size,))
-
-        from .jit_ops import (jext_mul_base, jext_sub_one_c0, jscale_base,
-                              jext_scale)
-
-        if lp.lookup_is_allowed:
-            if lp.is_specialized:
-                sel_flat = None
-            else:
-                marker_path = sb.selector_paths[0]
-                sel_flat = gl.ones((size,)).astuple()
-                for k_, bit in enumerate(marker_path):
-                    c_lo, c_hi = fcol(s_flat, self.num_var + k_)
-                    if not bit:
-                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
-                    sel_flat = jbase_mul(sel_flat[0], sel_flat[1], c_lo, c_hi)
-            a_off = 2 * (1 + self.num_intermediates)
-            if self.fuse:
-                # all lookup terms in one program
-                lk = _lookup_quotient_jit(
-                    size, num_lookup_subargs, width, pw, base_off, a_off,
-                    bool(lp.id_in_constant), sel_flat is not None,
-                    self.num_table,
-                    tuple(self.num_var + i
-                          for i in sb.table_ids_column_idxes)
-                    if lp.id_in_constant else (0,),
-                    self.num_var + self.num_const,
-                    self.num_var + self.num_wit)
-                n_lk = num_lookup_subargs + 1
-                lk_alphas = alpha_slice(ai, n_lk)
-                zero_s = jnp.zeros((size,), jnp.uint32)
-                out = lk(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
-                         g2_flat.lo, g2_flat.hi,
-                         sel_flat[0] if sel_flat is not None else zero_s,
-                         sel_flat[1] if sel_flat is not None else zero_s,
-                         jnp.asarray(lbeta_a),
-                         gpow_arr_dev if use_dev_ts
-                         else jnp.asarray(np.stack(gpow_a)), lk_alphas)
-                acc = acc + EV(*out)
-                ai += n_lk
-            else:
-                for rep in range(num_lookup_subargs):
-                    agg = EV.const(lookup_beta, (size,))
-                    for i in range(pw):
-                        c_lo, c_hi = fcol(w_flat, base_off + rep * pw + i)
-                        agg = agg + EV(*jscale_base(c_lo, c_hi, gpow_a[i]))
-                    if lp.id_in_constant:
-                        idxes = sb.table_ids_column_idxes
-                        tid_idx = self.num_var + \
-                            idxes[min(rep, len(idxes) - 1)]
-                        t_lo, t_hi = fcol(s_flat, tid_idx)
-                        agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
-                    a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
-                                g2_flat.hi[:, a_off + 2 * rep],
-                                g2_flat.lo[:, a_off + 2 * rep + 1],
-                                g2_flat.hi[:, a_off + 2 * rep + 1])
-                    prod = a_poly * agg
-                    if sel_flat is None:
-                        term = EV(*jext_sub_one_c0(*prod.a))
-                    else:
-                        z_ = jnp.zeros_like(sel_flat[0])
-                        term = prod - EV(sel_flat[0], sel_flat[1], z_, z_)
-                    acc = acc + term.scale(alpha_arrs[ai])
-                    ai += 1
-                agg_t = EV.const(lookup_beta, (size,))
-                tbl_base = self.num_var + self.num_const
-                for i in range(self.num_table):
-                    t_lo, t_hi = fcol(s_flat, tbl_base + i)
-                    agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
-                b_off = a_off + 2 * num_lookup_subargs
-                b_poly = EV(g2_flat.lo[:, b_off], g2_flat.hi[:, b_off],
-                            g2_flat.lo[:, b_off + 1], g2_flat.hi[:, b_off + 1])
-                term = b_poly * agg_t
-                m_lo, m_hi = fcol(w_flat, self.num_var + self.num_wit)
-                mz = jnp.zeros_like(m_lo)
-                term = term - EV(m_lo, m_hi, mz, mz)
-                acc = acc + term.scale(alpha_arrs[ai])
-                ai += 1
-
-        # general gates × selector products
-        sel_cache = {}
-
-        def selector_product(path):
-            key = tuple(path)
-            if key not in sel_cache:
-                prod = None
-                for k, bit in enumerate(path):
-                    c_lo, c_hi = fcol(s_flat, self.num_var + k)
-                    if not bit:
-                        c_lo, c_hi = jbase_one_minus(c_lo, c_hi)
-                    prod = (c_lo, c_hi) if prod is None else \
-                        jbase_mul(prod[0], prod[1], c_lo, c_hi)
-                if prod is None:
-                    ones = gl.ones((size,))
-                    prod = (ones.lo, ones.hi)
-                sel_cache[key] = prod
-            return sel_cache[key]
-
-        lookup_spec_cols = cs.specialized_copy_data.shape[0] \
-            if cs.specialized_copy_data is not None else 0
-        ones_s = gl.ones((size,))
-        for (snm, sstart, sreps) in cs.gate_spec_layout:
-            sev = cs.evaluators_specialized[cs.specialized_idx_by_name[snm]]
-            base = geometry.num_columns_under_copy_permutation \
-                + lookup_spec_cols + sstart
-            n_terms = sev.num_quotient_terms * sreps
-            if self.fuse:
-                sweep = self._gate_sweep_fn(sev, sreps, 0, 0, 0, 0,
-                                            spec_base=base)
-                al = alpha_slice(ai, n_terms)
-                out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
-                            ones_s.lo, ones_s.hi, al)
-                acc = acc + EV(*out)
-                ai += n_terms
-            else:
-                rep_fn = self._gate_rep_fn(sev)
-                for rep in range(sreps):
-                    cols = [fcol(w_flat, base + rep * sev.num_variables + i)
-                            for i in range(sev.num_variables)]
-                    terms = rep_fn([c[0] for c in cols], [c[1] for c in cols],
-                                   [], [], [], [])
-                    for t_i in range(len(terms) // 2):
-                        t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
-                        acc = acc + EV(*jscale_base(t_lo, t_hi, alpha_arrs[ai]))
-                        ai += 1
-
-        for ev_idx, ev in enumerate(cs.evaluators_general):
-            if ev.num_quotient_terms == 0:
-                continue
-            path = sb.selector_paths[ev_idx]
-            sel = selector_product(path)
-            reps = ev.num_repetitions(geometry)
-            n_terms = ev.num_quotient_terms * reps
-            if self.fuse:
-                sweep = self._gate_sweep_fn(
-                    ev, reps, len(path), 0, self.num_var,
-                    self.num_var + len(path))
-                al = alpha_slice(ai, n_terms)
-                out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
-                            sel[0], sel[1], al)
-                acc = acc + EV(*out)
-                ai += n_terms
-                continue
-            rep_fn = self._gate_rep_fn(ev)
-            dv, dw, dc = ev.per_chunk_offset
-            for rep in range(reps):
-                var_cols = [fcol(w_flat, rep * dv + i)
-                            for i in range(ev.num_variables)]
-                wit_cols = [fcol(w_flat, self.num_var + rep * dw + i)
-                            for i in range(ev.num_witnesses)]
-                const_cols = [fcol(s_flat, self.num_var + len(path) + rep * dc + i)
-                              for i in range(max(ev.num_constants,
-                                                 _consts_read(ev)))]
-                terms = rep_fn([c[0] for c in var_cols], [c[1] for c in var_cols],
-                               [c[0] for c in wit_cols], [c[1] for c in wit_cols],
-                               [c[0] for c in const_cols],
-                               [c[1] for c in const_cols])
-                for t_i in range(len(terms) // 2):
-                    t_lo, t_hi = terms[2 * t_i], terms[2 * t_i + 1]
-                    c_lo, c_hi = jbase_mul(t_lo, t_hi, sel[0], sel[1])
-                    acc = acc + EV(*jscale_base(c_lo, c_hi, alpha_arrs[ai]))
-                    ai += 1
-
-        # copy-permutation boundary + recurrences
+        # shared prove-invariant inputs (hoisted: both the mega-fused and
+        # the rolled paths read them)
         if "l1" in self._prove_invariant:
             l1 = self._prove_invariant["l1"]
         else:
             l1 = gl.from_u64(
                 device.unnormalized_l1_lde_host(n, qd).reshape(-1))
             self._prove_invariant["l1"] = l1
+        if "vanish" in self._prove_invariant:
+            vanish = self._prove_invariant["vanish"]
+        else:
+            vanish = gl.from_u64(
+                np.repeat(device.vanishing_inverse_per_coset(n, qd), n))
+            self._prove_invariant["vanish"] = vanish
+        if "nr_limbs" in self._prove_invariant:
+            nrl, nrh = self._prove_invariant["nr_limbs"]
+        else:
+            nr_host = np.asarray(self.non_res, np.uint64)
+            nrl = jnp.asarray((nr_host & np.uint64(0xFFFFFFFF))
+                              .astype(np.uint32))
+            nrh = jnp.asarray((nr_host >> np.uint64(32)).astype(np.uint32))
+            self._prove_invariant["nr_limbs"] = (nrl, nrh)
 
         # z shifted LDE from scaled monomials
         z_mono = GL(stage2_monos.lo[:, 0:2], stage2_monos.hi[:, 0:2])
@@ -749,86 +988,56 @@ class DeviceProver:
         z_shift = EV(zs_lde.lo[:, 0], zs_lde.hi[:, 0],
                      zs_lde.lo[:, 1], zs_lde.hi[:, 1])
 
-        num_rel = self.num_intermediates + 1
-        if self.fuse:
-            # boundary + all recurrence relations in one program
-            nr_host = np.asarray(self.non_res, np.uint64)
-            nrl = jnp.asarray((nr_host & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-            nrh = jnp.asarray((nr_host >> np.uint64(32)).astype(np.uint32))
-            cp = _copyperm_quotient_jit(size, n, qd, self.num_var,
-                                        self.num_intermediates)
-            cp_alphas = alpha_slice(ai, 1 + num_rel)
-            out = cp(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
-                     x_lde.lo, x_lde.hi, nrl, nrh,
-                     g2_flat.lo, g2_flat.hi,
-                     z_shift.a[0], z_shift.a[1], z_shift.a[2], z_shift.a[3],
-                     l1.lo, l1.hi, jnp.asarray(beta_a), jnp.asarray(gamma_a),
-                     cp_alphas)
-            acc = acc + EV(*out)
-            ai += 1 + num_rel
+        import os as _os
+        import jax as _jax
+        use_mega = (self.fuse and self.mesh is None
+                    and (_jax.default_backend() != "cpu"
+                         or _os.environ.get("BOOJUM_FORCE_MEGA")))
+        if use_mega:
+            # the ENTIRE quotient stage as ONE program (accelerator only:
+            # XLA:CPU's compile of the merged graph is pathological — the
+            # CPU fused path keeps the per-phase programs below)
+            qf, qf_terms = self._quotient_full_fn()
+            assert qf_terms == total_terms
+            if use_dev_ts:
+                alphas_all = alpha_table
+                gpow_all = gpow_arr_dev
+            else:
+                alphas_all = jnp.asarray(np.stack(alpha_arrs))
+                gpow_all = jnp.asarray(np.stack(gpow_a))
+            out_lo, out_hi = qf(
+                w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
+                g2_flat.lo, g2_flat.hi, x_lde.lo, x_lde.hi, nrl, nrh,
+                z_shift.a[0], z_shift.a[1], z_shift.a[2], z_shift.a[3],
+                l1.lo, l1.hi, vanish.lo, vanish.hi,
+                jnp.asarray(beta_a), jnp.asarray(gamma_a),
+                jnp.asarray(lbeta_a), gpow_all, alphas_all)
+            q_monos = GL(out_lo, out_hi)
+            if cs.config.runtime_asserts:
+                top0 = int(np.asarray(q_monos.lo[-1, 2 * qd - 2])) | \
+                    (int(np.asarray(q_monos.hi[-1, 2 * qd - 2])) << 32)
+                top1 = int(np.asarray(q_monos.lo[-1, 2 * qd - 1])) | \
+                    (int(np.asarray(q_monos.hi[-1, 2 * qd - 1])) << 32)
+                if top0 != 0 or top1 != 0:
+                    # DEBUG_SATISFIABLE analogue (reference src/config.rs:7)
+                    cs.check_if_satisfied(verbose=True)
+                    raise AssertionError(
+                        "unsatisfied circuit (see row report above)")
         else:
-            z_flat = EV(g2_flat.lo[:, 0], g2_flat.hi[:, 0],
-                        g2_flat.lo[:, 1], g2_flat.hi[:, 1])
-            zm1 = EV(*jext_sub_one_c0(*z_flat.a))
-            acc = acc + EV(*jext_mul_base(*zm1.a, l1.lo, l1.hi)) \
-                .scale(alpha_arrs[ai])
-            ai += 1
-            inters = [EV(g2_flat.lo[:, 2 + 2 * i], g2_flat.hi[:, 2 + 2 * i],
-                         g2_flat.lo[:, 3 + 2 * i], g2_flat.hi[:, 3 + 2 * i])
-                      for i in range(self.num_intermediates)]
-            lhs_list = inters + [z_shift]
-            rhs_list = [z_flat] + inters
-            for rel_idx, (lhs, rhs) in enumerate(zip(lhs_list, rhs_list)):
-                lhs_acc, rhs_acc = lhs, rhs
-                for j in range(rel_idx * qd,
-                               min((rel_idx + 1) * qd, self.num_var)):
-                    w_lo, w_hi = fcol(w_flat, j)
-                    sg_lo, sg_hi = fcol(s_flat, j)
-                    den = EV(*jaffine(w_lo, w_hi, sg_lo, sg_hi, beta_a, gamma_a))
-                    nr = scalar_ext((self.non_res[j], 0))
-                    bx_lo, bx_hi = jbase_mul(
-                        x_lde.lo, x_lde.hi,
-                        jnp.broadcast_to(jnp.uint32(nr[0, 0]), (size,)),
-                        jnp.broadcast_to(jnp.uint32(nr[0, 1]), (size,)))
-                    num_ = EV(*jaffine(w_lo, w_hi, bx_lo, bx_hi, beta_a, gamma_a))
-                    lhs_acc = lhs_acc * den
-                    rhs_acc = rhs_acc * num_
-                acc = acc + (lhs_acc - rhs_acc).scale(alpha_arrs[ai])
-                ai += 1
-        assert ai == total_terms
+            # per-phase fused / rolled / mesh path
+            assert not use_dev_ts or self.fuse
+            q_monos = self._quotient_rolled(
+                w_flat, s_flat, g2_flat, x_lde, l1, vanish, z_shift,
+                size, total_terms, num_lookup_subargs, width, pw, base_off,
+                alpha_arrs,
+                gpow_a if not use_dev_ts else None,
+                beta_a, gamma_a,
+                lookup_beta if not use_dev_ts else (0, 0),
+                use_dev_ts=use_dev_ts,
+                alpha_table=alpha_table if use_dev_ts else None,
+                lbeta_a=lbeta_a,
+                gpow_arr_dev=gpow_arr_dev if use_dev_ts else None)
 
-        # vanishing division + full-domain iNTT -> quotient monomials
-        if "vanish" in self._prove_invariant:
-            vanish = self._prove_invariant["vanish"]
-        else:
-            vanish = gl.from_u64(
-                np.repeat(device.vanishing_inverse_per_coset(n, qd), n))
-            self._prove_invariant["vanish"] = vanish
-        acc = EV(*jext_mul_base(*acc.a, vanish.lo, vanish.hi))
-        plan_log = size.bit_length() - 1
-        both = _intt_coset_jit(plan_log)(
-            GL(jnp.stack([acc.a[0], acc.a[2]], axis=1),
-               jnp.stack([acc.a[1], acc.a[3]], axis=1)))
-        q0 = GL(both.lo[:, :1], both.hi[:, :1])
-        q1 = GL(both.lo[:, 1:], both.hi[:, 1:])
-        if cs.config.runtime_asserts:
-            top0 = int(np.asarray(q0.lo[-1, 0])) | \
-                (int(np.asarray(q0.hi[-1, 0])) << 32)
-            top1 = int(np.asarray(q1.lo[-1, 0])) | \
-                (int(np.asarray(q1.hi[-1, 0])) << 32)
-            if top0 != 0 or top1 != 0:
-                # DEBUG_SATISFIABLE analogue (reference src/config.rs:7)
-                cs.check_if_satisfied(verbose=True)
-                raise AssertionError(
-                    "unsatisfied circuit (see row report above)")
-
-        qcols_lo, qcols_hi = [], []
-        for k in range(qd):
-            qcols_lo.append(q0.lo[k * n:(k + 1) * n, 0])
-            qcols_hi.append(q0.hi[k * n:(k + 1) * n, 0])
-            qcols_lo.append(q1.lo[k * n:(k + 1) * n, 0])
-            qcols_hi.append(q1.hi[k * n:(k + 1) * n, 0])
-        q_monos = GL(jnp.stack(qcols_lo, axis=1), jnp.stack(qcols_hi, axis=1))
         quotient_oracle = self._make_oracle(None, fri_lde, cap_size, hasher,
                                             monomials=q_monos)
         absorb_cap(quotient_oracle)
@@ -1082,7 +1291,8 @@ class DeviceProver:
         new_pow_bits, num_queries, schedule, _fd = compute_fri_schedule(
             cfg.security_level, cap_size, cfg.pow_bits,
             fri_lde.bit_length() - 1, n.bit_length() - 1)
-        if hasher == "poseidon2":
+        if hasher == "poseidon2" or (self.mesh is None and
+                                     hasher in ("blake2s", "keccak256")):
             from .device_merkle import do_fri_device
             fri_result = do_fri_device(h.a, transcript, schedule,
                                        fri_lde, cap_size, hasher,
@@ -1103,7 +1313,7 @@ class DeviceProver:
             challenges = transcript.get_multiple_challenges(4)
             grind = {"keccak256": pow_mod.keccak256_pow,
                      "poseidon2": pow_mod.poseidon2_pow,
-                     }.get(self.proof_config.pow_hash, pow_mod.blake2s_pow)
+                     }.get(self.cfg.pow_hash, pow_mod.blake2s_pow)
             pow_challenge = grind(challenges, new_pow_bits)
             transcript.witness_field_elements(
                 [pow_challenge & 0xFFFFFFFF, pow_challenge >> 32])
@@ -1340,6 +1550,60 @@ def _consts_read(ev):
     return ev.num_constants
 
 
+def _gate_sweep_body(ev, reps, base_var, base_wit, base_const,
+                     spec_base=None):
+    """Traced body: all repetitions of one gate, alpha-scaled and summed,
+    times the selector column. Wrapped by _gate_sweep_fn; inlined into
+    _quotient_full."""
+    import jax.numpy as jnp_
+    dv, dw, dc = ev.per_chunk_offset
+    nv_, nw_ = ev.num_variables, ev.num_witnesses
+    nc_ = max(ev.num_constants, _consts_read(ev))
+    T = ev.num_quotient_terms
+    if spec_base is not None:
+        var_idx = np.asarray([[spec_base + r * nv_ + i
+                               for r in range(reps)] for i in range(nv_)])
+    else:
+        var_idx = np.asarray([[base_var + r * dv + i
+                               for r in range(reps)] for i in range(nv_)])
+    wit_idx = np.asarray([[base_wit + r * dw + i for r in range(reps)]
+                          for i in range(nw_)])
+    const_idx = np.asarray([[base_const + r * dc + i
+                             for r in range(reps)] for i in range(nc_)])
+
+    def fn(w_lo, w_hi, s_lo, s_hi, sel_lo, sel_hi, alphas):
+        vars_ = [GL(w_lo[:, var_idx[i]], w_hi[:, var_idx[i]])
+                 for i in range(nv_)]
+        wits = [GL(w_lo[:, wit_idx[i]], w_hi[:, wit_idx[i]])
+                for i in range(nw_)]
+        consts = [GL(s_lo[:, const_idx[i]], s_hi[:, const_idx[i]])
+                  for i in range(nc_)]
+        src = TraceView(vars_, wits, consts)
+        terms = ev.evaluate(src, GLOps)
+        size = w_lo.shape[0]
+        acc0 = gl.zeros((size, reps))
+        acc1 = gl.zeros((size, reps))
+        # alpha for (rep r, term t) = alphas[r*T + t] (rep-major order)
+        al = alphas.reshape(reps, T, 2, 2)
+        for t, term in enumerate(terms):
+            term = GL(jnp_.broadcast_to(term.lo, (size, reps)),
+                      jnp_.broadcast_to(term.hi, (size, reps)))
+            a0 = GL(jnp_.broadcast_to(al[None, :, t, 0, 0], (size, reps)),
+                    jnp_.broadcast_to(al[None, :, t, 0, 1], (size, reps)))
+            a1 = GL(jnp_.broadcast_to(al[None, :, t, 1, 0], (size, reps)),
+                    jnp_.broadcast_to(al[None, :, t, 1, 1], (size, reps)))
+            acc0 = gl.add(acc0, gl.mul(term, a0))
+            acc1 = gl.add(acc1, gl.mul(term, a1))
+        s0 = device._sum_gl(acc0, axis=1)
+        s1 = device._sum_gl(acc1, axis=1)
+        sel = GL(sel_lo, sel_hi)
+        s0 = gl.mul(s0, sel)
+        s1 = gl.mul(s1, sel)
+        return s0.lo, s0.hi, s1.lo, s1.hi
+
+    return fn
+
+
 def _ext_prod_last(x):
     """GL2 product along the trailing axis (log-tree, exact field math)."""
     from ..field.extension import GL2
@@ -1505,12 +1769,12 @@ def _bcast_pair(arr2, shape):
     return GL(jnp.broadcast_to(arr2[0], shape), jnp.broadcast_to(arr2[1], shape))
 
 
-@functools.lru_cache(maxsize=None)
-def _lookup_quotient_jit(size, num_subargs, width, pw, base_off, a_off,
-                         id_in_constant, has_sel, num_table, tid_idxes,
-                         tbl_base, mult_idx):
-    """All lookup quotient terms (A relations + B relation) in one program."""
-    import jax
+def _lookup_quotient_body(size, num_subargs, width, pw, base_off, a_off,
+                          id_in_constant, has_sel, num_table, tid_idxes,
+                          tbl_base, mult_idx):
+    """Traced body: all lookup quotient terms (A relations + B relation).
+    Wrapped standalone by _lookup_quotient_jit and inlined whole into the
+    fused full-quotient program (_quotient_full)."""
     import jax.numpy as jnp
     from ..field.extension import GL2
 
@@ -1576,15 +1840,21 @@ def _lookup_quotient_jit(size, num_subargs, width, pw, base_off, a_off,
         acc1 = gl.add(acc1, term.c1)
         return acc0.lo, acc0.hi, acc1.lo, acc1.hi
 
-    return jax.jit(f)
+    return f
 
 
 @functools.lru_cache(maxsize=None)
-def _copyperm_quotient_jit(size, n, qd, num_var, num_inter):
-    """Boundary + ALL grand-product recurrence relations in one program:
-    per relation, its qd columns' affine factors are built as (size, qd)
-    blocks and tree-multiplied."""
+def _lookup_quotient_jit(*params):
+    """All lookup quotient terms (A relations + B relation) in one program."""
     import jax
+    return jax.jit(_lookup_quotient_body(*params))
+
+
+def _copyperm_quotient_body(size, n, qd, num_var, num_inter):
+    """Traced body: boundary + ALL grand-product recurrence relations —
+    per relation, its qd columns' affine factors are built as (size, qd)
+    blocks and tree-multiplied. Wrapped by _copyperm_quotient_jit; inlined
+    into _quotient_full."""
     import jax.numpy as jnp
     from ..field.extension import GL2
 
@@ -1638,23 +1908,33 @@ def _copyperm_quotient_jit(size, n, qd, num_var, num_inter):
             acc1 = gl.add(acc1, term.c1)
         return acc0.lo, acc0.hi, acc1.lo, acc1.hi
 
-    return jax.jit(f)
+    return f
 
 
 @functools.lru_cache(maxsize=None)
-def _intt_coset_jit(log_size):
+def _copyperm_quotient_jit(*params):
+    """Boundary + all grand-product recurrence relations in one program."""
     import jax
+    return jax.jit(_copyperm_quotient_body(*params))
 
+
+def _intt_coset_body(log_size):
     from ..ntt import ntt as jntt
 
     g = gl.MULTIPLICATIVE_GENERATOR
     if log_size >= 14:
-        # large single-poly iNTT: four-step keeps the passes wide and the
-        # compiled graphs half-depth (a direct (2^19, 2) program compiled
-        # for minutes on the axon backend)
-        return jax.jit(lambda x: jntt.coset_intt_fourstep_cols(x, int(g)))
+        return lambda x: jntt.coset_intt_fourstep_cols(x, int(g))
     plan = jntt.get_plan(log_size)
-    return jax.jit(lambda x: jntt.coset_intt_cols(x, g, plan))
+    return lambda x: jntt.coset_intt_cols(x, g, plan)
+
+
+@functools.lru_cache(maxsize=None)
+def _intt_coset_jit(log_size):
+    # large single-poly iNTT: four-step keeps the passes wide and the
+    # compiled graphs half-depth (a direct (2^19, 2) program compiled
+    # for minutes on the axon backend)
+    import jax
+    return jax.jit(_intt_coset_body(log_size))
 
 
 @functools.lru_cache(maxsize=None)

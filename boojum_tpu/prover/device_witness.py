@@ -65,12 +65,15 @@ class DeviceWitnessProgram:
                 continue
             if getattr(fn, "device_twin", None) is not None:
                 continue
-            meta = getattr(fn, "device_lookup", None)
-            if meta is not None:
-                if _table_shift(cs.lookup_tables[meta[0]]) is None:
-                    return False
+            if getattr(fn, "device_lookup", None) is not None:
+                # multiplicity counting is re-derived from the placed lookup
+                # instances (lookup_multiplicity_groups), not this node
                 continue
             return False
+        if cs.lookup_parameters.lookup_is_allowed:
+            for tbl in cs.lookup_tables:
+                if _table_shift(tbl) is None:
+                    return False
         return True
 
     def _build(self, cs, n: int):
@@ -78,34 +81,66 @@ class DeviceWitnessProgram:
         import jax.numpy as jnp
 
         record = cs.resolver.record
-        # static per-node data
+        # static per-node data. ALL set_values nodes merge into ONE scatter
+        # at the top: a set node never depends on anything and every place
+        # resolves exactly once (resolver invariant), so hoisting preserves
+        # semantics — and a real circuit has tens of thousands of tiny set
+        # nodes (one per allocation batch), which as individual scatters
+        # blow up the XLA program (LLVM section OOM on CPU).
         nodes = []
-        #: raw (values, places) per set_values node — the program INPUTS;
-        #: replayable with fresh values via __call__(overrides=...)
-        self._set_nodes = []
+        set_vals, set_places = [], []
         v_max = 0
         for fn, ins, outs in record:
             out_idx = places.index_of(np.asarray(outs, np.uint64))
             if out_idx.size:
                 v_max = max(v_max, int(out_idx.max()))
             if fn is None:
-                self._set_nodes.append((ins.reshape(-1).copy(),
-                                        np.asarray(outs, np.uint64)
-                                        .reshape(-1).copy()))
-                nodes.append(("set", None, out_idx.reshape(-1)))
-            else:
+                set_vals.append(np.asarray(ins, np.uint64).reshape(-1))
+                set_places.append(np.asarray(outs, np.uint64).reshape(-1))
+            elif getattr(fn, "device_lookup", None) is None:
                 in_idx = places.index_of(np.asarray(ins, np.uint64))
                 if in_idx.size:
                     v_max = max(v_max, int(in_idx.max()))
-                meta = getattr(fn, "device_lookup", None)
-                if meta is not None:
-                    tbl_idx, num_keys = meta
-                    nodes.append(("lookup", (in_idx, tbl_idx, num_keys),
-                                  None))
-                else:
-                    nodes.append(("twin", (fn.device_twin, in_idx,
-                                           ins.shape), out_idx.reshape(-1)))
+                nodes.append(("twin", (fn.device_twin, in_idx,
+                                       ins.shape), out_idx.reshape(-1)))
+        # multiplicity counting: STATIC per-table groups of placed lookup
+        # instances (mirrors recount_multiplicities, so padding lookups —
+        # which never enter the record — are counted, and replay_witness
+        # stays correct); the device packs keys and searchsorts the
+        # device-packed sorted table
+        mult_groups = []  # (tbl_idx, key_idx (num_keys, cnt))
+        for tbl_idx, key_places in cs.lookup_multiplicity_groups():
+            key_idx = places.index_of(key_places)
+            if key_idx.size:
+                v_max = max(v_max, int(key_idx.max()))
+            mult_groups.append((tbl_idx, key_idx))
+        #: concatenated (values, places) of every set node — the program
+        #: INPUTS; replayable with fresh values via __call__(overrides=...)
+        self._set_values = (np.concatenate(set_vals) if set_vals
+                            else np.zeros(0, np.uint64))
+        set_places_flat = (np.concatenate(set_places) if set_places
+                          else np.zeros(0, np.uint64))
+        self._set_pos = {int(p): i for i, p in enumerate(set_places_flat)}
+        set_out_idx = places.index_of(set_places_flat)
+        if set_out_idx.size:
+            v_max = max(v_max, int(set_out_idx.max()))
         V = v_max + 1
+        # width-classified upload: circuit inputs are mostly bytes/4-bit
+        # chunks; shipping them as u8 instead of u32 limb pairs cuts the
+        # per-prove input transfer ~8x (the tunnel sustains ~8-10 MB/s and
+        # the flagship's set values are ~4 MB as raw limbs). Classes are
+        # fixed at build from the recorded values; __call__ re-checks
+        # against overrides and falls back to limb upload on violation.
+        self._cls8 = self._set_values < (1 << 8)
+        self._cls32 = ~self._cls8 & (self._set_values < (1 << 32))
+        self._cls64 = ~(self._cls8 | self._cls32)
+        self._idx8 = np.nonzero(self._cls8)[0]
+        self._idx32 = np.nonzero(self._cls32)[0]
+        self._idx64 = np.nonzero(self._cls64)[0]
+        perm = np.concatenate([self._idx8, self._idx32, self._idx64])
+        inv = np.empty(self._set_values.shape[0], np.int64)
+        inv[perm] = np.arange(perm.shape[0])
+        self._set_inv_perm = inv
         # lookup tables (prove-invariant device constants): device packing
         # uses the per-table shift; the host sort order carries over because
         # both packings are lexicographic in the key tuple
@@ -160,112 +195,98 @@ class DeviceWitnessProgram:
             self._aux.append(jax.device_put(jnp.asarray(arr)))
             return len(self._aux) - 1
 
+        set_scatter_aux = aux(set_out_idx)
         node_specs = []
         for kind, info, out_idx in nodes:
-            if kind == "set":
-                node_specs.append(("set", None, aux(out_idx)))
-            elif kind == "twin":
-                twin, in_idx, ins_shape = info
-                node_specs.append(("twin", (twin, aux(in_idx.reshape(-1)),
-                                            ins_shape), aux(out_idx)))
-            else:
-                in_idx, tbl_idx, num_keys = info
-                node_specs.append(("lookup", (aux(in_idx.reshape(-1)),
-                                              in_idx.shape, tbl_idx,
-                                              num_keys), None))
+            twin, in_idx, ins_shape = info
+            node_specs.append(("twin", (twin, aux(in_idx.reshape(-1)),
+                                        ins_shape), aux(out_idx)))
+        mult_specs = [(tbl_idx, aux(key_idx.reshape(-1)), key_idx.shape)
+                      for (tbl_idx, key_idx) in mult_groups]
         table_aux = [(aux(t[0]), aux(t[1])) if t is not None else None
                      for t in tables]
         col_aux = []
         for meta in [copy_meta, wit_meta] + spec_parts:
             idx, ph = meta
             col_aux.append((aux(idx), aux(ph), idx.shape[0]))
-        n_set = len(self._set_nodes)
 
-        def prog(*args):
-            set_arrays = args[:2 * n_set]
-            ax = args[2 * n_set:]
+        inv_perm_aux = aux(self._set_inv_perm)
+        n8, n32 = self._idx8.shape[0], self._idx32.shape[0]
+
+        def prog(a8, a32, lo64, hi64, *ax):
+            set_lo = jnp.concatenate([a8.astype(jnp.uint32), a32,
+                                      lo64])[ax[inv_perm_aux]]
+            set_hi = jnp.concatenate(
+                [jnp.zeros((n8 + n32,), jnp.uint32), hi64])[ax[inv_perm_aux]]
             vlo = jnp.zeros((V,), jnp.uint32)
             vhi = jnp.zeros((V,), jnp.uint32)
             mults = [jnp.zeros((sz,), jnp.uint32) for sz in mult_sizes]
-            si = 0
+            vlo = vlo.at[ax[set_scatter_aux]].set(set_lo)
+            vhi = vhi.at[ax[set_scatter_aux]].set(set_hi)
             for kind, info, oi in node_specs:
-                if kind == "set":
-                    lo_a, hi_a = set_arrays[2 * si], set_arrays[2 * si + 1]
-                    si += 1
-                    vlo = vlo.at[ax[oi]].set(lo_a)
-                    vhi = vhi.at[ax[oi]].set(hi_a)
-                elif kind == "twin":
-                    twin, ii, ins_shape = info
-                    glo = vlo[ax[ii]].reshape(ins_shape)
-                    ghi = vhi[ax[ii]].reshape(ins_shape)
-                    olo, ohi = twin(glo, ghi)
-                    vlo = vlo.at[ax[oi]].set(olo.reshape(-1))
-                    vhi = vhi.at[ax[oi]].set(ohi.reshape(-1))
-                else:  # lookup multiplicity count
-                    ii, ins_shape, tbl_idx, num_keys = info
-                    keys = vlo[ax[ii]].reshape(ins_shape)
-                    s = self._table_shifts[tbl_idx]
-                    packed = keys[0]
-                    for i in range(1, num_keys):
-                        packed = (packed << jnp.uint32(s)) | keys[i]
-                    ski, ori = table_aux[tbl_idx]
-                    pos = jnp.searchsorted(ax[ski], packed)
-                    rows = ax[ori][pos]
-                    mults[tbl_idx] = mults[tbl_idx].at[rows].add(1)
+                twin, ii, ins_shape = info
+                glo = vlo[ax[ii]].reshape(ins_shape)
+                ghi = vhi[ax[ii]].reshape(ins_shape)
+                olo, ohi = twin(glo, ghi)
+                vlo = vlo.at[ax[oi]].set(olo.reshape(-1))
+                vhi = vhi.at[ax[oi]].set(ohi.reshape(-1))
+            for tbl_idx, ki, key_shape in mult_specs:
+                keys = vlo[ax[ki]].reshape(key_shape)
+                s = self._table_shifts[tbl_idx]
+                packed = keys[0]
+                for i in range(1, key_shape[0]):
+                    packed = (packed << jnp.uint32(s)) | keys[i]
+                ski, ori = table_aux[tbl_idx]
+                pos = jnp.searchsorted(ax[ski], packed)
+                rows = ax[ori][pos]
+                mults[tbl_idx] = mults[tbl_idx].at[rows].add(1)
 
-            outs = []
-            for (ci, pi, k_cols) in col_aux:
+            # assemble the witness-oracle Lagrange matrix (n, K) in the
+            # prover's leaf order: copy cols, specialized cols, witness
+            # cols, multiplicity column (prover.materialize_witness_columns
+            # + the np.concatenate in DeviceProver.prove)
+            groups_lo, groups_hi = [], []
+            order = [0] + list(range(2, 2 + len(spec_parts))) + [1]
+            for gi in order:
+                ci, pi, k_cols = col_aux[gi]
                 if k_cols == 0:
-                    z = jnp.zeros((0, n), jnp.uint32)
-                    outs += [z, z]
                     continue
-                outs.append(jnp.where(ax[pi], jnp.uint32(0), vlo[ax[ci]]))
-                outs.append(jnp.where(ax[pi], jnp.uint32(0), vhi[ax[ci]]))
+                groups_lo.append(jnp.where(ax[pi], jnp.uint32(0), vlo[ax[ci]]))
+                groups_hi.append(jnp.where(ax[pi], jnp.uint32(0), vhi[ax[ci]]))
             if has_mult:
                 pad = n - sum(mult_sizes)
                 mult_col = jnp.concatenate(
                     mults + [jnp.zeros((pad,), jnp.uint32)])
-                outs += [mult_col, jnp.zeros((n,), jnp.uint32)]
-            return tuple(outs)
+                groups_lo.append(mult_col[None, :])
+                groups_hi.append(jnp.zeros((1, n), jnp.uint32))
+            lag_lo = jnp.concatenate(groups_lo, axis=0).T
+            lag_hi = jnp.concatenate(groups_hi, axis=0).T
+            return lag_lo, lag_hi
 
         self._prog = jax.jit(prog)
-        self._n_spec_parts = len(spec_parts)
-        self._has_wit = wit_meta[0].shape[0] > 0
-        self._has_mult = has_mult
 
-    def __call__(self, overrides: dict = None):
-        """Run the device program -> (vars GL (n, k_var), wits GL, mult GL).
+    def __call__(self, overrides: dict = None) -> GL:
+        """Run the device program -> the witness oracle's Lagrange matrix
+        GL (n, K) — columns in leaf order (vars, wits, multiplicity).
 
         ``overrides`` maps input PLACES to new values (the replay_witness
         contract, cs/resolver.py): only the few-kB input arrays change;
         everything else recomputes on device."""
-        import jax.numpy as jnp
-
-        args = []
-        for vals, plcs in self._set_nodes:
-            if overrides:
-                vals = vals.copy()
-                for j, p in enumerate(plcs):
-                    if int(p) in overrides:
-                        vals[j] = overrides[int(p)]
-            args.extend(_limbs(vals))
-        outs = self._prog(*args, *self._aux)
-        i = 0
-
-        def take():
-            nonlocal i
-            lo, hi = outs[i], outs[i + 1]
-            i += 2
-            return GL(lo, hi)
-
-        copy_cols = take()
-        wit_cols = take()
-        specs = [take() for _ in range(self._n_spec_parts)]
-        parts = [copy_cols] + specs
-        var_lo = jnp.concatenate([p.lo for p in parts], axis=0)
-        var_hi = jnp.concatenate([p.hi for p in parts], axis=0)
-        mult = None
-        if self._has_mult:
-            mlo, mhi = outs[i], outs[i + 1]
-            mult = GL(mlo[None, :], mhi[None, :])
-        return (GL(var_lo, var_hi), wit_cols, mult)
+        vals = self._set_values
+        if overrides:
+            vals = vals.copy()
+            for p, v in overrides.items():
+                pos = self._set_pos.get(int(p))
+                if pos is not None:
+                    vals[pos] = v
+            # overrides must respect the build-time width classes (circuit
+            # inputs keep their value range across replays by construction)
+            assert (vals[self._idx8] < (1 << 8)).all() and \
+                (vals[self._idx32] < (1 << 32)).all(), \
+                "override value exceeds its recorded width class"
+        a8 = vals[self._idx8].astype(np.uint8)
+        a32 = vals[self._idx32].astype(np.uint32)
+        v64 = vals[self._idx64]
+        lo64, hi64 = _limbs(v64)
+        lag_lo, lag_hi = self._prog(a8, a32, lo64, hi64, *self._aux)
+        return GL(lag_lo, lag_hi)

@@ -126,7 +126,8 @@ class DeviceOracle:
     host — fine on the CPU dev backend, fatal over a device interconnect)."""
 
     def __init__(self, lagrange_cols_u64, lde_factor: int, cap_size: int,
-                 hasher: str, tree_lde: int = None, monomials=None):
+                 hasher: str, tree_lde: int = None, monomials=None,
+                 lagrange_dev=None):
         import os
         import time as _time
 
@@ -147,7 +148,12 @@ class DeviceOracle:
                 _t[0] = now
 
         self.lagrange = None  # (n, k) device plain-domain values (when known)
-        if monomials is None:
+        if lagrange_dev is not None:
+            # device-materialized witness (DeviceWitnessProgram): no upload
+            self.lagrange = lagrange_dev
+            monomials = device.cols_to_monomials(lagrange_dev)
+            _mark("monomials", monomials.lo)
+        elif monomials is None:
             # packed upload: only a win over the device tunnel; on CPU the
             # reassembly gather is pure overhead
             up = (device.to_device_cols_packed
@@ -168,16 +174,12 @@ class DeviceOracle:
         lde = device.monomials_to_lde(monomials, lde_factor)  # (L, n, k)
         self.flat = lde.reshape(lde_factor * self.n, self.num_polys)
         _mark("lde", self.flat.lo)
-        assert hasher in ("poseidon", "poseidon2"), \
-            "device oracles require an algebraic hasher"
+        assert hasher in ("poseidon", "poseidon2", "blake2s", "keccak256"), \
+            hasher
         tree_rows = self.flat[: self.tree_lde * self.n]
         leaf_cols = gl.GL(tree_rows.lo.T, tree_rows.hi.T)
-        if hasher == "poseidon2":
-            from .device_merkle import build_device_tree
-            self.tree = build_device_tree(leaf_cols, cap_size)
-        else:
-            self.tree = AlgebraicMerkleTree.from_leaf_columns(
-                leaf_cols, cap_size, hasher)
+        from .device_merkle import build_any_device_tree
+        self.tree = build_any_device_tree(leaf_cols, cap_size, hasher)
         _mark("tree", *(self.tree.layers[-1] if hasattr(self.tree, "layers")
                         else ()))
 
@@ -186,24 +188,25 @@ class DeviceOracle:
 
     def query_many(self, flat_indices, collector=None) -> np.ndarray:
         """Gather leaf values for all queries at once -> (q, k) host u64.
-        With ``collector`` the host transfer is deferred into the shared
-        batch; the returned object exposes the result as ``.value`` after
-        ``collector.flush()``."""
-        import jax.numpy as jnp
+        With ``collector`` the gather AND the host transfer ride the shared
+        batched program; the returned object exposes the result as
+        ``.value`` after ``collector.flush()``."""
+        from .device_merkle import FetchCollector, _rows_gather_fn
 
-        idx = jnp.asarray(np.asarray(flat_indices, np.int64))
-        dev = jnp.stack((self.flat.lo[idx], self.flat.hi[idx]))
+        idx = np.asarray(flat_indices, np.int64)
 
         def combine(host):
             arr = np.asarray(host)
             return (arr[0].astype(np.uint64) |
                     (arr[1].astype(np.uint64) << np.uint64(32)))
 
-        if collector is None:
-            import jax
-            return combine(jax.device_get(dev))
         out = _DeferredRows()
-        collector.add(dev, lambda h: setattr(out, "value", combine(h)))
+        mini = collector or FetchCollector()
+        mini.add_gather(_rows_gather_fn, (self.flat.lo, self.flat.hi, idx),
+                        lambda h: setattr(out, "value", combine(h)))
+        if collector is None:
+            mini.flush()
+            return out.value
         return out
 
     def query(self, coset_idx: int, inner_idx: int, cached_rows=None,

@@ -56,6 +56,68 @@ def load_setup_base(path: str) -> SetupBase:
     )
 
 
+# -- full proving artifacts (reference fast_serialization.rs:17,34) ----------
+
+
+def save_artifacts(path: str, setup_base: SetupBase, vk: "VerificationKey"):
+    """Raw-bytes persistence of everything a prover process needs besides
+    synthesis: the base setup columns + the VK (cap included). UNCOMPRESSED
+    npz — the memcopy analogue of the reference's MemcopySerializable
+    (src/cs/implementations/fast_serialization.rs:17,34): load + device
+    re-commit replaces the 30-200 s per-process create_base_setup."""
+    np.savez(
+        path,
+        copy_permutation_polys=setup_base.copy_permutation_polys,
+        constant_columns=setup_base.constant_columns,
+        lookup_tables_columns=setup_base.lookup_tables_columns,
+        meta=np.frombuffer(json.dumps({
+            "table_ids_column_idxes": setup_base.table_ids_column_idxes,
+            "selector_paths": setup_base.selector_paths,
+            "quotient_degree": setup_base.quotient_degree,
+            "num_general_constant_columns":
+                setup_base.num_general_constant_columns,
+            "domain_size": setup_base.domain_size,
+            "public_inputs": setup_base.public_inputs,
+        }).encode(), dtype=np.uint8),
+        vk=np.frombuffer(vk_to_json(vk).encode(), dtype=np.uint8),
+    )
+
+
+def load_artifacts(path: str):
+    """-> (SetupBase, VerificationKey). Uncompressed npz: each column array
+    loads as one raw read on first access."""
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    sb = SetupBase(
+        copy_permutation_polys=z["copy_permutation_polys"],
+        constant_columns=z["constant_columns"],
+        lookup_tables_columns=z["lookup_tables_columns"],
+        table_ids_column_idxes=list(meta["table_ids_column_idxes"]),
+        selectors_placement=None,
+        selector_paths=[list(map(bool, p)) for p in meta["selector_paths"]],
+        quotient_degree=meta["quotient_degree"],
+        num_general_constant_columns=meta["num_general_constant_columns"],
+        domain_size=meta["domain_size"],
+        public_inputs=[tuple(p) for p in meta["public_inputs"]],
+    )
+    vk = vk_from_json(bytes(z["vk"]).decode())
+    return sb, vk
+
+
+def create_device_setup_from_artifacts(cs, path: str, proof_config,
+                                       hasher: str = "poseidon2", mesh=None):
+    """Second-process fast path: load persisted artifacts and commit the
+    setup oracle on device (skipping create_base_setup); asserts the
+    recommitted cap equals the persisted VK's."""
+    from .device_prover import create_device_setup
+
+    sb, vk = load_artifacts(path)
+    art = create_device_setup(cs, sb, proof_config, hasher, mesh=mesh)
+    assert art.vk.setup_merkle_tree_cap == vk.setup_merkle_tree_cap, \
+        "persisted VK does not match the recommitted setup"
+    return art
+
+
 # -- VK ---------------------------------------------------------------------
 
 

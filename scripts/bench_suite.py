@@ -17,8 +17,8 @@ Configs (reference counterparts in parentheses):
                   (sha256_bench_recursive_poseidon2.sh)
   sha256_blake2s  8 kB SHA-256 with Blake2s transcript + tree — the
                   reference's NON-recursive bench configuration
-                  (sha256_bench_non_recursive.sh); host-side byte
-                  hashing, so the host prover is used
+                  (sha256_bench_non_recursive.sh); device prover with
+                  device-resident Blake2s trees
 (The flagship sha256+poseidon2 config is bench.py itself.)
 """
 
@@ -170,13 +170,11 @@ def bench_recursion_outer():
 
 
 def bench_sha256_blake2s(n_bytes=8192):
-    """Reference non-recursive bench config: Blake2s transcript + tree.
-    Byte hashers are host-side, so this runs the host prover (the device
-    prover's oracles require algebraic hashers)."""
+    """Reference non-recursive bench config: Blake2s transcript + tree
+    (sha256_bench_non_recursive.sh). Runs the DEVICE prover — byte trees are
+    device-resident batched u32 kernels (hash/device_bytes_hash.py)."""
     from tests.test_sha256 import build_sha256_circuit
-    from boojum_tpu.cs.setup import create_base_setup
-    from boojum_tpu.prover import ProofConfig, create_setup_and_vk, prove
-    from boojum_tpu.verifier import verify
+    from boojum_tpu.prover import ProofConfig
 
     data = bytes(np.random.default_rng(42).integers(0, 256, n_bytes,
                                                     dtype=np.uint8))
@@ -186,21 +184,10 @@ def bench_sha256_blake2s(n_bytes=8192):
     t_synth = time.time() - t0
     cfg = ProofConfig(fri_lde_factor=8, merkle_tree_cap_size=16,
                       security_level=100, pow_bits=0)
-    t0 = time.time()
-    sb = create_base_setup(cs)
-    art = create_setup_and_vk(cs, sb, cfg, "blake2s")
-    t_setup = time.time() - t0
-    t0 = time.time()
-    proof = prove(cs, art, cfg, "blake2s", "blake2s")
-    t_cold = time.time() - t0
-    t0 = time.time()
-    proof = prove(cs, art, cfg, "blake2s", "blake2s")
-    t_warm = time.time() - t0
-    assert verify(art.vk, proof, "blake2s", "blake2s")
-    _emit("sha256_%dkB_blake2s" % (n_bytes // 1024), t_warm,
-          {"setup_s": round(t_setup, 1), "prove_cold_s": round(t_cold, 1),
-           "synthesis_s": round(t_synth, 1), "domain": cs.final_trace_len,
-           "prover": "host (byte hasher)"})
+    t_warm, extra = _run_device(cs, cfg, "blake2s", "blake2s")
+    extra["synthesis_s"] = round(t_synth, 1)
+    extra["prover"] = "device (blake2s trees on-chip)"
+    _emit("sha256_%dkB_blake2s" % (n_bytes // 1024), t_warm, extra)
 
 
 ALL = {
