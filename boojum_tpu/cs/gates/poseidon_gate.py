@@ -47,6 +47,12 @@ class PoseidonFlattenedEvaluator(GateEvaluator):
     num_quotient_terms = NUM_TERMS
 
     def evaluate(self, src, ops):
+        if ops.name == "gl":
+            # traced domain: the 22 dense-MDS partial rounds roll via
+            # lax.scan — unrolled, this gate's graph (22x144 muls) is the
+            # one program the TPU compile helper OOMs on (round-4 bisect);
+            # the scan body holds ONE round. Identical field values.
+            return self._evaluate_gl_scan(src)
         state = [src.var(i) for i in range(SW)]
         output = [src.var(SW + i) for i in range(SW)]
         off = 2 * SW
@@ -88,6 +94,103 @@ class PoseidonFlattenedEvaluator(GateEvaluator):
         assert off == NUM_VARIABLES
         for i in range(SW):
             terms.append(ops.sub(output[i], state[i]))
+        assert len(terms) == NUM_TERMS
+        return terms
+
+    def _evaluate_gl_scan(self, src):
+        import jax
+        import jax.numpy as jnp
+
+        from ...field import goldilocks as gl
+        from ...field.goldilocks import GL
+        from .base import GLOps
+
+        def as_gl(v):
+            # trace vars arrive as GL arrays (possibly scalar-broadcast)
+            return v
+
+        state = [as_gl(src.var(i)) for i in range(SW)]
+        output = [as_gl(src.var(SW + i)) for i in range(SW)]
+        off = 2 * SW
+        terms = []
+
+        def rc_gl(r, i):
+            return GLOps.from_int(_RC[r * SW + i])
+
+        def mds_gl(st):
+            out = []
+            for r_ in range(SW):
+                acc = None
+                for c in range(SW):
+                    term = gl.mul(GLOps.from_int(_MDS_POW[r_][c]
+                                                 % npgl.ORDER), st[c])
+                    acc = term if acc is None else gl.add(acc, term)
+                out.append(acc)
+            return out
+
+        r = 0
+        for fr in range(_R_F_HALF):
+            if fr != 0:
+                for i in range(SW):
+                    sb = as_gl(src.var(off))
+                    off += 1
+                    terms.append(gl.sub(state[i], sb))
+                    state[i] = sb
+            state = [_ops_sbox7(GLOps, gl.add(state[i], rc_gl(r, i)))
+                     for i in range(SW)]
+            state = mds_gl(state)
+            r += 1
+
+        # partial rounds as ONE scan body
+        p0 = r
+        rc_tab = np.zeros((_R_P, SW), np.uint64)
+        for j in range(_R_P):
+            rc_tab[j] = [_RC[(p0 + j) * SW + i] for i in range(SW)]
+        rcs_lo = jnp.asarray((rc_tab & 0xFFFFFFFF).astype(np.uint32))
+        rcs_hi = jnp.asarray((rc_tab >> 32).astype(np.uint32))
+        sbs = [as_gl(src.var(off + j)) for j in range(_R_P)]
+        off += _R_P
+        shape = jnp.broadcast_shapes(*[s.lo.shape for s in state],
+                                     sbs[0].lo.shape)
+        st_lo = jnp.stack([jnp.broadcast_to(s.lo, shape) for s in state])
+        st_hi = jnp.stack([jnp.broadcast_to(s.hi, shape) for s in state])
+        sb_lo = jnp.stack([jnp.broadcast_to(s.lo, shape) for s in sbs])
+        sb_hi = jnp.stack([jnp.broadcast_to(s.hi, shape) for s in sbs])
+
+        def body(carry, xs):
+            clo, chi = carry
+            rlo, rhi, sblo, sbhi = xs
+            st = [gl.add(GL(clo[i], chi[i]),
+                         GL(jnp.broadcast_to(rlo[i], shape),
+                            jnp.broadcast_to(rhi[i], shape)))
+                  for i in range(SW)]
+            sb = GL(sblo, sbhi)
+            term = gl.sub(st[0], sb)
+            st[0] = _ops_sbox7(GLOps, sb)
+            st = mds_gl(st)
+            return ((jnp.stack([s.lo for s in st]),
+                     jnp.stack([s.hi for s in st])),
+                    (term.lo, term.hi))
+
+        (st_lo, st_hi), (t_lo, t_hi) = jax.lax.scan(
+            body, (st_lo, st_hi), (rcs_lo, rcs_hi, sb_lo, sb_hi))
+        terms.extend(GL(t_lo[j], t_hi[j]) for j in range(_R_P))
+        state = [GL(st_lo[i], st_hi[i]) for i in range(SW)]
+        r += _R_P
+
+        for _ in range(_R_F_HALF):
+            for i in range(SW):
+                sb = as_gl(src.var(off))
+                off += 1
+                terms.append(gl.sub(state[i], sb))
+                state[i] = sb
+            state = [_ops_sbox7(GLOps, gl.add(state[i], rc_gl(r, i)))
+                     for i in range(SW)]
+            state = mds_gl(state)
+            r += 1
+        assert off == NUM_VARIABLES
+        for i in range(SW):
+            terms.append(gl.sub(output[i], state[i]))
         assert len(terms) == NUM_TERMS
         return terms
 

@@ -990,7 +990,13 @@ class DeviceProver:
 
         import os as _os
         import jax as _jax
+        # mega cap: circuits with very wide gate rosters (the recursion
+        # outer's flattened Poseidon gates are 118+ terms each) produce a
+        # merged graph the TPU compile server OOMs on — those keep the
+        # per-phase fused programs (round-3 behavior, 2.1 s warm)
+        mega_cap = int(_os.environ.get("BOOJUM_MEGA_MAX_TERMS", "96"))
         use_mega = (self.fuse and self.mesh is None
+                    and total_terms <= mega_cap
                     and (_jax.default_backend() != "cpu"
                          or _os.environ.get("BOOJUM_FORCE_MEGA")))
         if use_mega:
