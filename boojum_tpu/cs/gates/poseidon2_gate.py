@@ -148,9 +148,74 @@ def _np_sbox7(x):
     return npgl.mul(x3, npgl.mul(x2, x2))
 
 
+def _int_flat_witness(state_cols):
+    """Pure-Python-int twin of _np_flat_witness for SMALL batches: numpy
+    scalar ops cost ~30 us each, and one permutation is ~4k of them —
+    recursion-circuit synthesis spent ~6 s/permutation-heavy circuit in
+    these closures (round-4 profile). Identical values."""
+    P = int(npgl.ORDER)
+    n = len(state_cols[0])
+    inter_all, out_all = None, None
+    inters, outs = [], []
+    for j in range(n):
+        st = [int(state_cols[i][j]) for i in range(SW)]
+
+        def emds(s):
+            def bm4(x0, x1, x2, x3):
+                t0 = (x0 + x1) % P
+                t1 = (x2 + x3) % P
+                t2 = (2 * x1 + t1) % P
+                t3 = (2 * x3 + t0) % P
+                t4 = (4 * t1 + t3) % P
+                t5 = (4 * t0 + t2) % P
+                return (t3 + t5) % P, t5, (t2 + t4) % P, t4
+
+            b = [bm4(*s[0:4]), bm4(*s[4:8]), bm4(*s[8:12])]
+            col = [(b[0][i] + b[1][i] + b[2][i]) % P for i in range(4)]
+            return [(b[blk][i] + col[i]) % P for blk in range(3)
+                    for i in range(4)]
+
+        def sbox7(x):
+            x2 = x * x % P
+            x3 = x2 * x % P
+            return x3 * (x2 * x2 % P) % P
+
+        inter = []
+        r = 0
+        st = emds(st)
+        for fr in range(_R_F_HALF):
+            if fr != 0:
+                inter.extend(st)
+            st = [sbox7((st[i] + _RC[r * SW + i]) % P) for i in range(SW)]
+            st = emds(st)
+            r += 1
+        for _ in range(_R_P):
+            s0 = (st[0] + _RC[r * SW]) % P
+            inter.append(s0)
+            st = list(st)
+            st[0] = sbox7(s0)
+            total = sum(st) % P
+            st = [((st[i] << _DIAG_SHIFTS[i]) + total) % P
+                  for i in range(SW)]
+            r += 1
+        for _ in range(_R_F_HALF):
+            inter.extend(st)
+            st = [sbox7((st[i] + _RC[r * SW + i]) % P) for i in range(SW)]
+            st = emds(st)
+            r += 1
+        inters.append(inter)
+        outs.append(st)
+    inter_arr = np.asarray(inters, np.uint64).T  # (n_inter, n)
+    out_arr = np.asarray(outs, np.uint64).T      # (SW, n)
+    return [inter_arr[i] for i in range(inter_arr.shape[0])], \
+        [out_arr[i] for i in range(SW)]
+
+
 def _np_flat_witness(state_cols):
     """state_cols: list of 12 (n,) arrays -> (intermediates list, outputs).
     Mirrors the evaluator's variable consumption order exactly."""
+    if len(state_cols[0]) <= 8:
+        return _int_flat_witness(state_cols)
     state = list(state_cols)
     inter = []
     r = 0

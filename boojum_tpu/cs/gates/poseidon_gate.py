@@ -195,7 +195,58 @@ class PoseidonFlattenedEvaluator(GateEvaluator):
         return terms
 
 
+def _int_flat_witness(state_cols):
+    """Pure-int twin of _np_flat_witness for small batches (the classic
+    dense-MDS permutation is ~4k numpy scalar ops = ~125 ms per instance;
+    int math is ~40x faster at batch 1). Identical values."""
+    P = int(npgl.ORDER)
+    n = len(state_cols[0])
+    exps = [[int(_MDS_POW[a][b] % npgl.ORDER).bit_length() - 1
+             for b in range(SW)] for a in range(SW)]
+    inters, outs = [], []
+    for j in range(n):
+        st = [int(state_cols[i][j]) for i in range(SW)]
+
+        def mds(s):
+            return [sum(s[c] << exps[r_][c] for c in range(SW)) % P
+                    for r_ in range(SW)]
+
+        def sbox7(x):
+            x2 = x * x % P
+            x3 = x2 * x % P
+            return x3 * (x2 * x2 % P) % P
+
+        inter = []
+        r = 0
+        for fr in range(_R_F_HALF):
+            if fr != 0:
+                inter.extend(st)
+            st = [sbox7((st[i] + _RC[r * SW + i]) % P) for i in range(SW)]
+            st = mds(st)
+            r += 1
+        for _ in range(_R_P):
+            st = [(st[i] + _RC[r * SW + i]) % P for i in range(SW)]
+            inter.append(st[0])
+            st = list(st)
+            st[0] = sbox7(st[0])
+            st = mds(st)
+            r += 1
+        for _ in range(_R_F_HALF):
+            inter.extend(st)
+            st = [sbox7((st[i] + _RC[r * SW + i]) % P) for i in range(SW)]
+            st = mds(st)
+            r += 1
+        inters.append(inter)
+        outs.append(st)
+    inter_arr = np.asarray(inters, np.uint64).T
+    out_arr = np.asarray(outs, np.uint64).T
+    return [inter_arr[i] for i in range(inter_arr.shape[0])], \
+        [out_arr[i] for i in range(SW)]
+
+
 def _np_flat_witness(state_cols):
+    if len(state_cols[0]) <= 8:
+        return _int_flat_witness(state_cols)
     state = list(state_cols)
     inter = []
     r = 0
