@@ -1308,6 +1308,11 @@ class DeviceProver:
             fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,
                                 fri_lde, cap_size, hasher)
 
+        if verbose and getattr(fri_result, "monomial_forms_dev", None):
+            # drain async FRI compute so it attributes HERE, not to the
+            # query-phase sync (round-3/4 splits lumped them together)
+            import jax as _jax_sync
+            _jax_sync.block_until_ready(fri_result.monomial_forms_dev[0])
         _stage("FRI folds+trees")
         if use_dev_ts:
             # ONE sync: the sponge state + pending buffer cross to host and
