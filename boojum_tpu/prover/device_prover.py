@@ -742,7 +742,9 @@ class DeviceProver:
         else:
             x_dev = gl.from_u64(npgl.powers(omega, n))
             self._prove_invariant["x_dev"] = x_dev
-        _sync("s2 uploads", vars_dev.lo, sig_dev.lo, x_dev.lo)
+        # with the device witness program this sync point drains the witness
+        # materialization + witness-oracle commit (no uploads remain)
+        _sync("s2 inputs ready", vars_dev.lo, sig_dev.lo, x_dev.lo)
 
         def col(m, j):
             return m.lo[:, j], m.hi[:, j]
