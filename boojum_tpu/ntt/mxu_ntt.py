@@ -264,19 +264,62 @@ def _mxu_kernel(log_r: int, inverse: bool):
     return kernel
 
 
+def _kernel_version() -> int:
+    """Stage-kernel selector: 2 = slot-accumulate (round 5), 1 = legacy
+    per-pair carry chains. BOOJUM_MXU_V1=1 opts back into v1."""
+    import os
+    return 1 if os.environ.get("BOOJUM_MXU_V1") == "1" else 2
+
+
 @functools.lru_cache(maxsize=None)
-def _stage_pallas_jit(log_r: int, m: int, inverse: bool, interpret: bool):
+def _stage_pallas_jit(log_r: int, m: int, inverse: bool, interpret: bool,
+                      version: int = None, twmode: int = 0,
+                      tw_width: int = 0):
+    """One compiled Mosaic program for a radix-R stage over (R, m).
+
+    twmode/tw_width: optional fused cross-twiddle (see _mxu_kernel_v2).
+    The twiddle input is a (R, tw_width) table; each grid tile reads the
+    (R, TILE_M) slice at lane offset (i*TILE_M) % tw_width — with
+    batch-major lanes (c, j2) this IS the per-element twiddle, with no
+    lane-expansion materialization at all."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if version is None:
+        version = _kernel_version()
     r = 1 << log_r
-    assert m % TILE_M == 0
-    grid = (m // TILE_M,)
+    # the twiddle-fused variant carries two extra (r, tile) inputs; at
+    # tile=256 the double-buffered working set overflows the v5e's 16 MB
+    # VMEM by ~0.8 MB, so it runs at half tile width
+    tile = TILE_M // 2 if twmode else TILE_M
+    assert m % tile == 0
+    grid = (m // tile,)
     w_spec = pl.BlockSpec((DIGITS * r, r), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    spec = pl.BlockSpec((r, TILE_M), lambda i: (0, i),
+    spec = pl.BlockSpec((r, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    kernel = _mxu_kernel(log_r, inverse)
+    if twmode:
+        assert version == 2 and tw_width % tile == 0
+        tw_blocks = tw_width // tile
+        tw_spec = pl.BlockSpec((r, tile), lambda i: (0, i % tw_blocks),
+                               memory_space=pltpu.VMEM)
+        kernel = _mxu_kernel_v2(log_r, inverse, twmode)
+
+        def f(lo, hi, twl, twh):
+            w = jnp.asarray(_w_digit_stack_f32(log_r, inverse))
+            return pl.pallas_call(
+                kernel,
+                out_shape=(jax.ShapeDtypeStruct((r, m), jnp.uint32),
+                           jax.ShapeDtypeStruct((r, m), jnp.uint32)),
+                grid=grid,
+                in_specs=[w_spec, spec, spec, tw_spec, tw_spec],
+                out_specs=(spec, spec),
+                interpret=interpret,
+            )(w, lo, hi, twl, twh)
+
+        return jax.jit(f)
+
+    kernel = (_mxu_kernel_v2 if version == 2 else _mxu_kernel)(log_r, inverse)
 
     def f(lo, hi):
         w = jnp.asarray(_w_digit_stack_f32(log_r, inverse))
@@ -293,41 +336,178 @@ def _stage_pallas_jit(log_r: int, m: int, inverse: bool, interpret: bool):
     return jax.jit(f)
 
 
-# fixed M per kernel call: every radix shares ONE compiled Mosaic program
-# regardless of batch width (each extra pallas shape costs ~4-5 s of cold
-# start even on a persistent-cache hit — server-side load)
-FIXED_M = 1 << 14
+def _mxu_kernel_v2(log_r: int, inverse: bool, twmode: int = 0):
+    """Round-5 kernel: slot-accumulate-then-recombine.
+
+    The v1 kernel ran a 160-bit add_at carry chain per (i, j) digit pair —
+    ~17 VPU ops per element per pair, 64 pairs — and measured ~9x VPU-bound
+    against its own MXU work (12.8%% of roofline, BENCH_r04). v2 restores
+    the balance:
+
+    - per digit j: ONE matmul (8R, R) @ (R, TM), convert to int32, and ADD
+      into 15 slot accumulators T_k = sum_{i+j=k} P_ij (exact: T_k <=
+      8*R*255^2 < 2^28 fits int32) — 2 VPU ops per (i, j) pair instead of
+      ~17;
+    - recombination happens ONCE per tile on the 15 slots via the 4-column
+      split: value = A + (B<<8) + (C<<16) + (D<<24) where column r packs
+      slots k ≡ r (mod 4) into 5 u32 words with NO carries (T_k < 2^32),
+      so only the 3 shifted adds need carry chains;
+    - the 160-bit fold + canonicalize run once per tile as before.
+
+    twmode: 0 = plain stage; 1 = multiply the stage OUTPUT by a per-element
+    twiddle tile (the four-step cross twiddle fused into the forward pass —
+    saves a full HBM round-trip + the lane-expansion materialization);
+    2 = multiply the INPUT (the inverse pass, where the cross twiddle
+    divides before the stage). Twiddle muls are mul_lazy + the shared final
+    canonicalize, which produces the same canonical representative as the
+    separate gl.mul — proofs stay byte-identical.
+    """
+    r = 1 << log_r
+
+    def kernel(*refs):
+        if twmode:
+            w_ref, lo_ref, hi_ref, twl_ref, twh_ref, out_lo_ref, \
+                out_hi_ref = refs
+        else:
+            w_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref = refs
+        tm = lo_ref.shape[1]
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        if twmode == 2:
+            x_tw = gl.mul_lazy(GL(lo, hi), GL(twl_ref[:], twh_ref[:]))
+            lo, hi = x_tw.lo, x_tw.hi
+        slots = [None] * SLOTS
+        for j in range(DIGITS):
+            limb = lo if j < 4 else hi
+            sh = 8 * (j % 4)
+            d = (limb >> sh) & U32(0xFF) if sh else limb & U32(0xFF)
+            dj = jax.lax.bitcast_convert_type(d, jnp.int32).astype(jnp.float32)
+            p = jax.lax.dot_general(
+                w_ref[:], dj, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (8R, TM), exact
+            pi = p.astype(jnp.int32)
+            for i in range(DIGITS):
+                k = i + j
+                blk = pi[i * r:(i + 1) * r]
+                slots[k] = blk if slots[k] is None else slots[k] + blk
+        # u32 views (values < 2^28, non-negative)
+        T = [jax.lax.bitcast_convert_type(s, U32) for s in slots]
+        zero = jnp.zeros((r, tm), U32)
+
+        def shifted(col, s):
+            # 5-word left shift by s in {8, 16, 24} of a word list (< 5 long)
+            words = []
+            prev = None
+            for w in range(5):
+                cur = col[w] if w < len(col) else None
+                v = (cur << s) if cur is not None else None
+                if prev is not None:
+                    pv = prev >> (32 - s)
+                    v = pv if v is None else (v | pv)
+                words.append(v if v is not None else zero)
+                prev = cur
+            return words
+
+        def add5(x, y):
+            out = []
+            carry = None
+            for w in range(5):
+                s = x[w] + y[w]
+                c = (s < x[w]).astype(U32)
+                if carry is not None:
+                    s2 = s + carry
+                    c = c | (s2 < s).astype(U32)
+                    s = s2
+                out.append(s)
+                carry = c
+            return out
+
+        A = [T[0], T[4], T[8], T[12], zero]
+        B = [T[1], T[5], T[9], T[13]]
+        C = [T[2], T[6], T[10], T[14]]
+        D = [T[3], T[7], T[11]]
+        total = add5(add5(A, shifted(B, 8)),
+                     add5(shifted(C, 16), shifted(D, 24)))
+        out = _fold160(*total)
+        if twmode == 1:
+            out = gl.mul_lazy(out, GL(twl_ref[:], twh_ref[:]))
+        out = gl.canonicalize(out)
+        out_lo_ref[:] = out.lo
+        out_hi_ref[:] = out.hi
+
+    return kernel
+
+
+# fixed M per kernel call: every radix shares TWO compiled Mosaic programs
+# (small + large) regardless of batch width (each extra pallas shape costs
+# ~4-5 s of cold start even on a persistent-cache hit — server-side load).
+# The large shape covers full-prover passes in 1-2 calls (32 calls/pass at
+# the old 2^14 cost ~25 ms of slice+concat HBM copies per pass, round 5).
+FIXED_M = 1 << 16
+SMALL_M = 1 << 14
+
+
+def _padded_m(m: int) -> int:
+    """Kernel lane-width bucket: two shared shapes for small/medium m (one
+    compiled program each), exact TILE_M-rounded width above FIXED_M (the
+    chunk-and-concat alternative cost ~4 extra HBM touches per pass)."""
+    if m <= SMALL_M:
+        return SMALL_M
+    if m <= FIXED_M:
+        return FIXED_M
+    return -(-m // TILE_M) * TILE_M
 
 
 def ntt_cols_matmul(x: GL, inverse: bool = False, interpret: bool = False,
-                    fused: bool = None) -> GL:
+                    fused: bool = None, tw: tuple = None,
+                    tw_pre: bool = False) -> GL:
     """NTT along axis 0 of (R, M) via the MXU stage; exact, bit-identical to
     `ntt.ntt_cols(x, plan)` / `ntt.intt_cols` at the same size (tested).
 
-    fused=True (default on TPU) runs the Pallas VMEM kernel, chunking M to
-    FIXED_M so one compiled kernel per radix serves every call site;
-    fused=False is the jnp-dot reference formulation."""
+    fused=True (default on TPU) runs the Pallas VMEM kernel; fused=False is
+    the jnp-dot reference formulation.
+
+    tw: optional (twl, twh) device (R, W) twiddle table with W | M (the
+    four-step cross twiddle for batch-major lanes); multiplied into the
+    OUTPUT (tw_pre=False, forward) or the INPUT (tw_pre=True, inverse)
+    inside the kernel. Caller guarantees lane l's twiddle is column
+    l % W of the table."""
     r, m = x.shape
     log_r = r.bit_length() - 1
     assert 1 << log_r == r
     if fused is None:
         fused = jax.default_backend() not in ("cpu",)
-    if not fused or m % TILE_M:
+    if not fused or m % TILE_M or (tw is not None and _kernel_version() != 2):
+        tw_full = None
+        if tw is not None:
+            reps = m // tw[0].shape[1]
+            tw_full = GL(jnp.tile(tw[0], (1, reps)),
+                         jnp.tile(tw[1], (1, reps)))
+        if tw_full is not None and tw_pre:
+            x = gl.mul(x, tw_full)
         lo, hi = _stage_jit(log_r, m, inverse)(x.lo, x.hi)
-        return GL(lo, hi)
-    if m <= FIXED_M:
-        mp = m
-        if m < FIXED_M and m > FIXED_M // 4:
-            mp = FIXED_M  # pad mid sizes onto the shared kernel
-            x = GL(jnp.pad(x.lo, ((0, 0), (0, mp - m))),
-                   jnp.pad(x.hi, ((0, 0), (0, mp - m))))
+        out = GL(lo, hi)
+        if tw_full is not None and not tw_pre:
+            out = gl.mul(out, tw_full)
+        return out
+    mp = _padded_m(m)
+    if m < mp:
+        x = GL(jnp.pad(x.lo, ((0, 0), (0, mp - m))),
+               jnp.pad(x.hi, ((0, 0), (0, mp - m))))
+    if tw is not None:
+        twl, twh = tw
+        w_ = twl.shape[1]
+        tw_tile = TILE_M // 2  # matches the twmode kernel's tile width
+        if w_ < tw_tile:
+            reps = tw_tile // w_
+            twl = jnp.tile(twl, (1, reps))
+            twh = jnp.tile(twh, (1, reps))
+            w_ = tw_tile
+        lo, hi = _stage_pallas_jit(log_r, mp, inverse, interpret,
+                                   twmode=2 if tw_pre else 1,
+                                   tw_width=w_)(x.lo, x.hi, twl, twh)
+    else:
         lo, hi = _stage_pallas_jit(log_r, mp, inverse, interpret)(x.lo, x.hi)
+    if m < mp:
         return GL(lo[:, :m], hi[:, :m])
-    los, his = [], []
-    for start in range(0, m, FIXED_M):
-        chunk = GL(x.lo[:, start:start + FIXED_M],
-                   x.hi[:, start:start + FIXED_M])
-        out = ntt_cols_matmul(chunk, inverse, interpret, fused=True)
-        los.append(out.lo)
-        his.append(out.hi)
-    return GL(jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1))
+    return GL(lo, hi)

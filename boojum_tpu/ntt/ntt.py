@@ -263,15 +263,68 @@ def ntt_fourstep_cols(x: GL, log_n1: int = None) -> GL:
     from .pallas_ntt import _fourstep_twiddles_host
     tw_lo, tw_hi = _fourstep_twiddles_host(log_n1, log_n2)
 
-    xv = x.reshape(n1, n2 * b)
-    s1 = _pass_ntt(xv, log_n1).reshape(n1, n2, b)
-    w = GL(jnp.asarray(tw_lo)[:, :, None], jnp.asarray(tw_hi)[:, :, None])
-    s1 = gl.mul(s1, w)
-    s1t = GL(jnp.swapaxes(s1.lo, 0, 1).reshape(n2, n1 * b),
-             jnp.swapaxes(s1.hi, 0, 1).reshape(n2, n1 * b))
-    s2 = _pass_ntt(s1t, log_n2).reshape(n2, n1, b)
-    return GL(jnp.swapaxes(s2.lo, 0, 1).reshape(n, b),
-              jnp.swapaxes(s2.hi, 0, 1).reshape(n, b))
+    # TPU layout rule (round-5 profiling): elementwise math must stay 2-D
+    # lane-major — a (r, m, b) elementwise view with a narrow trailing dim
+    # runs ~100x off the VPU roofline (measured 1.9-2.4 s for ONE 2^24
+    # cross-twiddle mul at b=8), and `jnp.repeat` materializes through the
+    # same bad layout. Lanes are therefore BATCH-MAJOR (c, j2): the cross
+    # twiddle of lane l is column l % n2 of the (n1, n2) table, so it fuses
+    # into the MXU stage kernel via a BlockSpec index map (no expansion at
+    # all; _pass_tw_fwd), and the non-kernel fallback expands with
+    # `jnp.tile` (pure block concat). Transposes are data movement (fast).
+    if b == 1:
+        xv = x.reshape(n1, n2)
+    else:
+        x3 = x.reshape(n1, n2, b)
+        xv = GL(jnp.swapaxes(x3.lo, 1, 2).reshape(n1, b * n2),
+                jnp.swapaxes(x3.hi, 1, 2).reshape(n1, b * n2))
+    s1 = _pass_tw_fwd(xv, log_n1, tw_lo, tw_hi)  # rows p1, lanes (c, j2)
+    if b == 1:
+        s2 = _pass_ntt(GL(s1.lo.T, s1.hi.T), log_n2)
+        return GL(s2.lo.T.reshape(n, 1), s2.hi.T.reshape(n, 1))
+    s1t = GL(
+        jnp.transpose(s1.lo.reshape(n1, b, n2), (2, 1, 0))
+        .reshape(n2, b * n1),
+        jnp.transpose(s1.hi.reshape(n1, b, n2), (2, 1, 0))
+        .reshape(n2, b * n1))
+    s2 = _pass_ntt(s1t, log_n2)  # rows p2, lanes (c, p1)
+    return GL(
+        jnp.transpose(s2.lo.reshape(n2, b, n1), (2, 0, 1)).reshape(n, b),
+        jnp.transpose(s2.hi.reshape(n2, b, n1), (2, 0, 1)).reshape(n, b))
+
+
+def _pass_tw_fwd(xv: GL, log_r: int, tw_lo, tw_hi) -> GL:
+    """Forward pass + cross twiddle: stage(xv)[r, l] * tw[r, l % n2].
+
+    Fused into the MXU stage kernel when the pass is a direct Pallas radix
+    (saves the twiddle's HBM round trip + expansion); jnp.tile fallback
+    otherwise (CPU / small radixes) — identical canonical outputs."""
+    if use_mxu() and log_r in (7, 8):
+        from .mxu_ntt import ntt_cols_matmul
+        return ntt_cols_matmul(xv, tw=(jnp.asarray(tw_lo),
+                                       jnp.asarray(tw_hi)))
+    s = _pass_ntt(xv, log_r)
+    reps = s.shape[1] // tw_lo.shape[1]
+    return gl.mul(s, GL(jnp.tile(jnp.asarray(tw_lo), (1, reps)),
+                        jnp.tile(jnp.asarray(tw_hi), (1, reps))))
+
+
+def _pass_tw_inv(s1: GL, log_r: int, wi_lo, wi_hi) -> GL:
+    """Inverse cross twiddle + inverse pass: istage(s1 * wi)."""
+    if use_mxu() and log_r in (7, 8):
+        from .mxu_ntt import ntt_cols_matmul
+        return ntt_cols_matmul(s1, inverse=True,
+                               tw=(jnp.asarray(wi_lo), jnp.asarray(wi_hi)),
+                               tw_pre=True)
+    reps = s1.shape[1] // wi_lo.shape[1]
+    s1 = gl.mul(s1, GL(jnp.tile(jnp.asarray(wi_lo), (1, reps)),
+                       jnp.tile(jnp.asarray(wi_hi), (1, reps))))
+    return _pass_ntt(s1, log_r, inverse=True)
+
+
+def _rep_lanes(a, b):
+    """(r, m) -> (r, m*b): each lane repeated b times (2-D throughout)."""
+    return a if b == 1 else jnp.repeat(a, b, axis=1)
 
 
 def intt_fourstep_cols(y: GL, log_n1: int = None) -> GL:
@@ -290,17 +343,29 @@ def intt_fourstep_cols(y: GL, log_n1: int = None) -> GL:
     tw_lo, tw_hi = _fourstep_twiddles_host(log_n1, log_n2)
     tw = (tw_lo.astype(np.uint64) | (tw_hi.astype(np.uint64) << np.uint64(32)))
     tw_inv = npgl.batch_inv(tw.reshape(-1)).reshape(n1, n2)
-    wi = GL(jnp.asarray((tw_inv & np.uint64(0xFFFFFFFF)).astype(np.uint32))[:, :, None],
-            jnp.asarray((tw_inv >> np.uint64(32)).astype(np.uint32))[:, :, None])
+    wil = jnp.asarray((tw_inv & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    wih = jnp.asarray((tw_inv >> np.uint64(32)).astype(np.uint32))
 
-    yv = y.reshape(n1, n2, b)  # (p1, p2, b)
-    s2t = GL(jnp.swapaxes(yv.lo, 0, 1).reshape(n2, n1 * b),
-             jnp.swapaxes(yv.hi, 0, 1).reshape(n2, n1 * b))
-    s1t = _pass_ntt(s2t, log_n2, inverse=True).reshape(n2, n1, b)  # (j2, p1, b)
-    s1 = GL(jnp.swapaxes(s1t.lo, 0, 1), jnp.swapaxes(s1t.hi, 0, 1))  # (p1, j2, b)
-    s1 = gl.mul(s1, wi)
-    x = _pass_ntt(s1.reshape(n1, n2 * b), log_n1, inverse=True)
-    return x.reshape(n, b)
+    # batch-major lane order throughout (see ntt_fourstep_cols layout rule)
+    if b == 1:
+        yv = y.reshape(n1, n2)  # (p1, p2)
+        s1t = _pass_ntt(GL(yv.lo.T, yv.hi.T), log_n2, inverse=True)
+        x = _pass_tw_inv(GL(s1t.lo.T, s1t.hi.T), log_n1, wil, wih)
+        return x.reshape(n, 1)
+    y3 = y.reshape(n1, n2, b)  # (p1, p2, c)
+    s2t = GL(
+        jnp.transpose(y3.lo, (1, 2, 0)).reshape(n2, b * n1),
+        jnp.transpose(y3.hi, (1, 2, 0)).reshape(n2, b * n1))
+    s1t = _pass_ntt(s2t, log_n2, inverse=True)  # rows j2, lanes (c, p1)
+    s1 = GL(
+        jnp.transpose(s1t.lo.reshape(n2, b, n1), (2, 1, 0))
+        .reshape(n1, b * n2),
+        jnp.transpose(s1t.hi.reshape(n2, b, n1), (2, 1, 0))
+        .reshape(n1, b * n2))  # rows p1, lanes (c, j2)
+    x = _pass_tw_inv(s1, log_n1, wil, wih)  # rows j1, lanes (c, j2)
+    x3 = GL(jnp.transpose(x.lo.reshape(n1, b, n2), (0, 2, 1)),
+            jnp.transpose(x.hi.reshape(n1, b, n2), (0, 2, 1)))
+    return x3.reshape(n, b)
 
 
 def coset_intt_fourstep_cols(y: GL, coset: int) -> GL:

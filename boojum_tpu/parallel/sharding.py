@@ -229,11 +229,15 @@ def distributed_ntt(mesh: Mesh, log_n: int, batch: int):
     def step(x_lo, x_hi, pj1_lo, pj1_hi, pj2_lo, pj2_hi):
         def inner(lo, hi, p1l, p1h, p2l, p2h, twl, twh):
             b = lo.shape[1]
-            x = GL(lo.reshape(n1_loc, n2, b), hi.reshape(n1_loc, n2, b))
-            # coset scaling: coset^{j1·n2+j2} = pj1[j1]·pj2[j2]
-            p1f = GL(p1l, p1h)[:, None, None]
-            p2f = GL(p2l, p2h)[None, :, None]
-            x = gl.mul(gl.mul(x, p1f), p2f)
+            # coset scaling: coset^{j1·n2+j2} = pj1[j1]·pj2[j2]; built as a
+            # 2-D outer product and applied 2-D lane-major — elementwise math
+            # on (r, c, b) views with b < 128 trailing is the TPU layout
+            # cliff (~100x off roofline, round-5 profile)
+            scale = gl.mul(GL(p1l[:, None], p1h[:, None]),
+                           GL(p2l[None, :], p2h[None, :]))  # (n1_loc, n2)
+            x = GL(lo.reshape(n1_loc, n2 * b), hi.reshape(n1_loc, n2 * b))
+            x = gl.mul(x, GL(ntt._rep_lanes(scale.lo, b),
+                             ntt._rep_lanes(scale.hi, b)))
             # transpose 1: (n1_loc, S, n2_loc, b) -> (S, n1_loc, n2_loc, b)
             xl = x.lo.reshape(n1_loc, n_shards, n2_loc, b)
             xh = x.hi.reshape(n1_loc, n_shards, n2_loc, b)
@@ -242,10 +246,8 @@ def distributed_ntt(mesh: Mesh, log_n: int, batch: int):
             a = GL(xl.reshape(n1, n2_loc * b), xh.reshape(n1, n2_loc * b))
             # local pass 1: NTT_{n1} over j1 -> bitreversed p1 rows
             a = ntt.ntt_cols(a, ntt.get_plan(log_n1))
-            a = a.reshape(n1, n2_loc, b)
-            # cross twiddles, j2-sharded slice handed in via in_specs
-            w = GL(twl[:, :, None], twh[:, :, None])
-            a = gl.mul(a, w)
+            # cross twiddles, j2-sharded slice handed in via in_specs (2-D)
+            a = gl.mul(a, GL(ntt._rep_lanes(twl, b), ntt._rep_lanes(twh, b)))
             # transpose 2: (S, n1_loc, n2_loc, b) -> (n1_loc, S, n2_loc, b)
             al = a.lo.reshape(n_shards, n1_loc, n2_loc, b)
             ah = a.hi.reshape(n_shards, n1_loc, n2_loc, b)
@@ -358,11 +360,14 @@ def distributed_intt(mesh: Mesh, log_n: int, batch: int):
             yt = GL(jnp.swapaxes(y.lo, 0, 1).reshape(n2, n1_loc * b),
                     jnp.swapaxes(y.hi, 0, 1).reshape(n2, n1_loc * b))
             yt = ntt.intt_cols(yt, ntt.get_plan(log_n2))
-            s1 = GL(jnp.swapaxes(yt.lo.reshape(n2, n1_loc, b), 0, 1),
-                    jnp.swapaxes(yt.hi.reshape(n2, n1_loc, b), 0, 1))
-            # divide cross twiddles (p1-sharded slice via in_specs)
-            wi = GL(twl[:, :, None], twh[:, :, None])
-            s1 = gl.mul(s1, wi)  # (n1_loc, n2, b)
+            s1 = GL(jnp.swapaxes(yt.lo.reshape(n2, n1_loc, b), 0, 1)
+                    .reshape(n1_loc, n2 * b),
+                    jnp.swapaxes(yt.hi.reshape(n2, n1_loc, b), 0, 1)
+                    .reshape(n1_loc, n2 * b))
+            # divide cross twiddles (p1-sharded slice via in_specs) — 2-D
+            # lane-major (3-D elementwise is the TPU layout cliff)
+            s1 = gl.mul(s1, GL(ntt._rep_lanes(twl, b),
+                               ntt._rep_lanes(twh, b)))
             # transpose: collect ALL p1 for this device's j2 block
             sl = s1.lo.reshape(n1_loc, n_shards, n2_loc, b)
             sh = s1.hi.reshape(n1_loc, n_shards, n2_loc, b)
@@ -377,13 +382,14 @@ def distributed_intt(mesh: Mesh, log_n: int, batch: int):
             ah = a.hi.reshape(n_shards, n1_loc, n2_loc, b)
             al = jax.lax.all_to_all(al, AXIS, 0, 1, tiled=False)
             ah = jax.lax.all_to_all(ah, AXIS, 0, 1, tiled=False)
-            # (n1_loc, S, n2_loc, b) -> (n1_loc, n2, b)
-            x = GL(al.reshape(n1_loc, n2, b), ah.reshape(n1_loc, n2, b))
+            # (n1_loc, S, n2_loc, b) -> (n1_loc, n2*b), 2-D lane-major
+            x = GL(al.reshape(n1_loc, n2 * b), ah.reshape(n1_loc, n2 * b))
             # coset un-scale: x_j /= coset^{j} = pj1[j1]·pj2[j2] (inverted
-            # factors passed in)
-            p1f = GL(p1l, p1h)[:, None, None]
-            p2f = GL(p2l, p2h)[None, :, None]
-            x = gl.mul(gl.mul(x, p1f), p2f)
+            # factors passed in) — 2-D outer product, lane-repeated
+            scale = gl.mul(GL(p1l[:, None], p1h[:, None]),
+                           GL(p2l[None, :], p2h[None, :]))  # (n1_loc, n2)
+            x = gl.mul(x, GL(ntt._rep_lanes(scale.lo, b),
+                             ntt._rep_lanes(scale.hi, b)))
             return x.lo.reshape(n1_loc * n2, b), x.hi.reshape(n1_loc * n2, b)
 
         return jax.shard_map(

@@ -120,10 +120,16 @@ def _jit_lde_all_cosets(log_n: int, lde_factor: int, block: int):
     n = 1 << log_n
 
     def f(lo, hi, plo, phi):
-        # (n, B) x (L, n) -> (n, L, B) scaled copies
-        x = gl.mul(GL(lo[:, None, :], hi[:, None, :]),
-                   GL(plo.T[:, :, None], phi.T[:, :, None]))
-        flat = x.reshape(n, lde_factor * block)
+        # (n, B) x (L, n) -> (n, L*B) scaled copies, 2-D THROUGHOUT:
+        # elementwise math on a (n, L, B) view is the TPU layout cliff
+        # (trailing dim < 128 wastes lanes; measured ~100x off roofline,
+        # round-5 profile). tile/repeat are lane gathers XLA fuses.
+        import jax.numpy as _jnp
+        x = gl.mul(GL(_jnp.tile(lo, (1, lde_factor)),
+                      _jnp.tile(hi, (1, lde_factor))),
+                   GL(_jnp.repeat(plo.T, block, axis=1),
+                      _jnp.repeat(phi.T, block, axis=1)))
+        flat = x
         if log_n >= 14:
             out = ntt.ntt_fourstep_cols(flat)
         else:

@@ -662,10 +662,12 @@ class DeviceProver:
             public_values = []
             transcript.witness_field_elements(public_values)
             lagrange_dev = dev_witness(getattr(cs, "witness_overrides", None))
-            _sync("witness materialize")
+            _sync("witness materialize", lagrange_dev.lo)
             witness_oracle = DeviceOracle(None, used_lde, cap_size, hasher,
                                           tree_lde=fri_lde,
                                           lagrange_dev=lagrange_dev)
+            if verbose and hasattr(witness_oracle.tree, "layers"):
+                _sync("witness commit", witness_oracle.tree.layers[-1][0])
         else:
             variables_cols, witness_cols, mult_cols = \
                 materialize_witness_columns(cs, n)
@@ -940,9 +942,16 @@ class DeviceProver:
 
         # -- quotient over the (qd·n) flat LDE --------------------------------
         size = qd * n
-        w_flat = witness_oracle.flat[:size]
-        s_flat = setup_oracle.flat[:size]
-        g2_flat = stage2_oracle.flat[:size]
+
+        def flat_prefix(oracle):
+            # avoid the eager slice dispatch when the prefix is the whole
+            # array (~20-40 ms per eager op over the tunnel)
+            f_ = oracle.flat
+            return f_ if f_.shape[0] == size else f_[:size]
+
+        w_flat = flat_prefix(witness_oracle)
+        s_flat = flat_prefix(setup_oracle)
+        g2_flat = flat_prefix(stage2_oracle)
         if "x_lde" in self._prove_invariant:
             x_lde = self._prove_invariant["x_lde"]
         else:
@@ -973,22 +982,27 @@ class DeviceProver:
             self._prove_invariant["nr_limbs"] = (nrl, nrh)
 
         # z shifted LDE from scaled monomials
-        z_mono = GL(stage2_monos.lo[:, 0:2], stage2_monos.hi[:, 0:2])
         if "scale_pows" in self._prove_invariant:
             scale_pows = self._prove_invariant["scale_pows"]
         else:
             scale_pows = gl.from_u64(npgl.powers(omega, n))
             self._prove_invariant["scale_pows"] = scale_pows
-        z_shift_mono = gl.mul(z_mono, GL(scale_pows.lo[:, None],
-                                         scale_pows.hi[:, None]))
         if self.mesh is not None:
+            z_mono = GL(stage2_monos.lo[:, 0:2], stage2_monos.hi[:, 0:2])
+            z_shift_mono = gl.mul(z_mono, GL(scale_pows.lo[:, None],
+                                             scale_pows.hi[:, None]))
             from ..parallel.sharded_oracle import sharded_monomials_to_lde
             zs_lde = sharded_monomials_to_lde(
                 self.mesh, z_shift_mono, qd).reshape(size, 2)
+            z_shift = EV(zs_lde.lo[:, 0], zs_lde.hi[:, 0],
+                         zs_lde.lo[:, 1], zs_lde.hi[:, 1])
         else:
-            zs_lde = device.monomials_to_lde(z_shift_mono, qd).reshape(size, 2)
-        z_shift = EV(zs_lde.lo[:, 0], zs_lde.hi[:, 0],
-                     zs_lde.lo[:, 1], zs_lde.hi[:, 1])
+            # one cached-jit dispatch for slice + scale + LDE + re-layout
+            # (the eager chain here cost tens of ~20-40 ms tunnel dispatches)
+            o_ = _z_shift_lde_jit(n, qd)(
+                stage2_monos.lo, stage2_monos.hi,
+                scale_pows.lo, scale_pows.hi)
+            z_shift = EV(*o_)
 
         import os as _os
         import jax as _jax
@@ -1005,6 +1019,7 @@ class DeviceProver:
             # the ENTIRE quotient stage as ONE program (accelerator only:
             # XLA:CPU's compile of the merged graph is pathological — the
             # CPU fused path keeps the per-phase programs below)
+            _stage("  q prep")
             qf, qf_terms = self._quotient_full_fn()
             assert qf_terms == total_terms
             if use_dev_ts:
@@ -1020,6 +1035,7 @@ class DeviceProver:
                 l1.lo, l1.hi, vanish.lo, vanish.hi,
                 jnp.asarray(beta_a), jnp.asarray(gamma_a),
                 jnp.asarray(lbeta_a), gpow_all, alphas_all)
+            _stage("  q mega dispatched")
             q_monos = GL(out_lo, out_hi)
             if cs.config.runtime_asserts:
                 top0 = int(np.asarray(q_monos.lo[-1, 2 * qd - 2])) | \
@@ -1048,6 +1064,7 @@ class DeviceProver:
 
         quotient_oracle = self._make_oracle(None, fri_lde, cap_size, hasher,
                                             monomials=q_monos)
+        _stage("  q oracle dispatched")
         absorb_cap(quotient_oracle)
 
         _stage("quotient")
@@ -1262,10 +1279,14 @@ class DeviceProver:
             pts_arr = np.stack([scalar_ext(p) for (_, _, p) in groups])
             assert len(val_flat) == total_ch
 
-        wf = witness_oracle.flat[:fsize]
-        sf = setup_oracle.flat[:fsize]
-        tf = stage2_oracle.flat[:fsize]
-        qf = quotient_oracle.flat[:fsize]
+        def flat_fri(oracle):
+            f_ = oracle.flat
+            return f_ if f_.shape[0] == fsize else f_[:fsize]
+
+        wf = flat_fri(witness_oracle)
+        sf = flat_fri(setup_oracle)
+        tf = flat_fri(stage2_oracle)
+        qf = flat_fri(quotient_oracle)
         if self.fuse:
             layout = tuple(tuple(srcs_) for (srcs_, _, _) in groups)
             out = _deep_jit(fsize, layout)(
@@ -1304,7 +1325,8 @@ class DeviceProver:
             from .device_merkle import do_fri_device
             fri_result = do_fri_device(h.a, transcript, schedule,
                                        fri_lde, cap_size, hasher,
-                                       mesh=self.mesh, fuse=self.fuse)
+                                       mesh=self.mesh, fuse=self.fuse,
+                                       verbose=verbose)
         else:
             h_host = h.to_host()
             fri_result = do_fri(h_host[0], h_host[1], transcript, schedule,
@@ -1929,6 +1951,22 @@ def _copyperm_quotient_jit(*params):
     """Boundary + all grand-product recurrence relations in one program."""
     import jax
     return jax.jit(_copyperm_quotient_body(*params))
+
+
+@functools.lru_cache(maxsize=None)
+def _z_shift_lde_jit(n: int, qd: int):
+    """slice z-poly monomials + ω-scale + qd-coset LDE + flat ext layout,
+    as ONE program (replaces an eager chain of tunnel dispatches)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(m_lo, m_hi, sp_lo, sp_hi):
+        z_mono = GL(m_lo[:, 0:2], m_hi[:, 0:2])
+        zs = gl.mul(z_mono, GL(sp_lo[:, None], sp_hi[:, None]))
+        lde = device.monomials_to_lde(zs, qd).reshape(qd * n, 2)
+        return lde.lo[:, 0], lde.hi[:, 0], lde.lo[:, 1], lde.hi[:, 1]
+
+    return jax.jit(f)
 
 
 def _intt_coset_body(log_size):

@@ -67,20 +67,42 @@ def main():
     o = f(x.lo, x.hi, jnp.uint32(0))
     get1(o[0])  # compile + warm
 
-    # timed series with fresh inputs; subtract the sync round trip
-    t0 = time.perf_counter()
-    for _ in range(4):
+    # timed series with fresh inputs; subtract the MEDIAN sync round trip
+    # (the tunnel's get latency is noisy — min-of-few minus a 4-sample
+    # average went negative in round 5)
+    bases = []
+    for _ in range(8):
+        t0 = time.perf_counter()
         get1(x.lo)
-    base = (time.perf_counter() - t0) / 4
+        bases.append(time.perf_counter() - t0)
+    base = sorted(bases)[len(bases) // 2]
     times = []
-    for r in range(5):
+    for r in range(7):
         t0 = time.perf_counter()
         o = f(x.lo, x.hi, jnp.uint32(r + 1))
         get1(o[0])
         times.append(time.perf_counter() - t0 - base)
-    t_ntt = min(times) / b  # per transform, amortized over the batch
+    times.sort()
+    t_ntt = max(times[len(times) // 2], 1e-4) / b  # median, per transform
 
     # (value identity with the butterfly/host paths is asserted in tests)
+
+    # single-column (2^24, 1) transform — the round-4 layout cliff
+    # (3.6 s); the batch-major lane rule keeps it 2-D end to end
+    del o
+    x1 = GL(x.lo[:, :1], x.hi[:, :1])
+    f1 = jax.jit(lambda lo, hi, r: ntt.ntt_fourstep_cols(
+        GL(lo + r, hi)).astuple())
+    o1 = f1(x1.lo, x1.hi, jnp.uint32(0))
+    get1(o1[0])
+    t1s = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        o1 = f1(x1.lo, x1.hi, jnp.uint32(r + 1))
+        get1(o1[0])
+        t1s.append(time.perf_counter() - t0 - base)
+    t1s.sort()
+    t_single = max(t1s[len(t1s) // 2], 1e-4)
 
     # roofline bounds for this pass structure
     if ntt.use_mxu():
@@ -106,6 +128,7 @@ def main():
         "value": round(1.0 / t_ntt, 2),
         "unit": "2^24-point Goldilocks NTTs per second per chip",
         "ms_per_transform": round(t_ntt * 1e3, 2),
+        "single_column_ms": round(t_single * 1e3, 2),
         "melements_per_s": round(n / t_ntt / 1e6, 1),
         "roofline_ms": round(t_roofline * 1e3, 2),
         "pct_of_roofline": round(100 * t_roofline / t_ntt, 1),

@@ -176,3 +176,27 @@ def test_interpolate_final_host_matches_device_path():
             gl.from_u64(vals).reshape(m, 1), coset, plan)).reshape(m)
         got = interpolate_final_host(vals, coset)
         assert [int(x) for x in np.asarray(want)] == got
+
+
+def test_fourstep_batch_layout_paths():
+    """All three four-step lane layouts (b == 1 / 1 < b < 128 batch-major /
+    b >= 128 wide-trailing) must agree with the direct plan path — they pick
+    different twiddle-expansion strategies (round-5 TPU layout rule)."""
+    import numpy as np
+    from boojum_tpu.field import goldilocks as gl
+    from boojum_tpu.ntt import ntt
+    from boojum_tpu.utils import npgl
+
+    rng = np.random.default_rng(12)
+    log_n = 10
+    n = 1 << log_n
+    plan = ntt.get_plan(log_n)
+    for b in (1, 2, 128):
+        vals = rng.integers(0, npgl.ORDER, (n, b), dtype=np.uint64)
+        x = gl.from_u64(vals)
+        assert np.array_equal(
+            np.asarray(gl.to_u64(ntt.ntt_fourstep_cols(x))),
+            np.asarray(gl.to_u64(ntt.ntt_cols(x, plan)))), b
+        assert np.array_equal(
+            np.asarray(gl.to_u64(ntt.intt_fourstep_cols(x))),
+            np.asarray(gl.to_u64(ntt.intt_cols(x, plan)))), b
