@@ -180,8 +180,20 @@ def use_pallas() -> bool:
 
 
 def permutation_stacked_fast(st: GL) -> GL:
-    """Dispatch: Pallas kernel on TPU (large batches), jnp reference
-    elsewhere. Both are the same field math; proofs are byte-identical."""
+    """Dispatch: Pallas kernel on TPU (large batches), jnp elsewhere. Both
+    are the same field math; proofs are byte-identical.
+
+    Small batches (Merkle tail layers, 1-lane transcript states) use the
+    UNROLLED jnp permutation: at tiny widths each rolled fori_loop round is
+    its own device kernel launch (~0.1 ms), which made every tree's tail
+    layers cost ~30 launches per level (round-5 profiling)."""
     if use_pallas() and st.lo.shape[1] >= PALLAS_MIN_BATCH:
         return permutation_stacked_pallas(st)
+    if st.lo.shape[1] <= 4096 and jax.default_backend() != "cpu":
+        # accelerator only, partially unrolled: at tiny widths each rolled
+        # round is its own ~0.1 ms kernel launch; FULL unrolling at every
+        # tail layer ballooned the fused commit program to ~30 MB of MLIR
+        # and OOM-killed the compile server, so unroll=11 (3 launches/perm)
+        # is the balance point
+        return _permutation_stacked(st, unroll=11)
     return _permutation_stacked(st)

@@ -73,7 +73,7 @@ def permutation_gl(state: GL) -> GL:
     return gl.stack(out, axis=0)
 
 
-def _permutation_rolled_gl(st: GL) -> GL:
+def _permutation_rolled_gl(st: GL, unroll: int = 1) -> GL:
     """Rolled stacked permutation on (12, B): rounds ride lax.fori_loop with
     constants indexed per round, MDS rows are lazy shift-reduce sums (the
     circulant entries are powers of two). ~10x smaller traced graph than the
@@ -113,10 +113,11 @@ def _permutation_rolled_gl(st: GL) -> GL:
         el = [row0] + [st[i] for i in range(1, 12)]
         return gl.stack(mds_lazy(el), axis=0)
 
-    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)
-    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st)
+    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st, unroll=unroll)
+    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st,
+                           unroll=unroll)
     st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P,
-                           full_round, st)
+                           full_round, st, unroll=unroll)
     return gl.canonicalize(st)
 
 

@@ -224,7 +224,7 @@ def _internal_matrix_stacked(st: GL, shifts=None) -> GL:
                            jnp.broadcast_to(total.hi[None], scaled.hi.shape)))
 
 
-def _permutation_stacked(st: GL, tables=None) -> GL:
+def _permutation_stacked(st: GL, tables=None, unroll: int = 1) -> GL:
     """Rolled, stacked-state permutation: minimal traced graph (~3 small
     round bodies), sbox vectorized over the whole (12, B) state.
 
@@ -258,9 +258,11 @@ def _permutation_stacked(st: GL, tables=None) -> GL:
     # the whole permutation runs on lazy (any-u64) representatives; one
     # canonicalization at the end restores the exact reference output
     st = _external_mds_stacked(st)
-    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st)
-    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st)
-    st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P, full_round, st)
+    st = jax.lax.fori_loop(0, _R_F_HALF, full_round, st, unroll=unroll)
+    st = jax.lax.fori_loop(_R_F_HALF, _R_F_HALF + _R_P, partial_round, st,
+                           unroll=unroll)
+    st = jax.lax.fori_loop(_R_F_HALF + _R_P, 2 * _R_F_HALF + _R_P, full_round,
+                           st, unroll=unroll)
     return gl.canonicalize(st)
 
 

@@ -141,16 +141,23 @@ def _jit_lde_all_cosets(log_n: int, lde_factor: int, block: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _coset_power_limbs_dev(log_n: int, lde_factor: int):
-    """Device (lde, n) u32-limb coset power columns (bitreversed-coset
-    order), uploaded once per process."""
+def _coset_power_limbs_host(log_n: int, lde_factor: int):
+    """HOST (lde, n) u32-limb coset power columns (bitreversed-coset
+    order). Cached as numpy — caching jnp arrays would capture a tracer
+    when first materialized inside a jit trace (the fused oracle-commit
+    program) and leak it to later callers."""
     n = 1 << log_n
     lows, highs = [], []
     for coset in ntt.lde_cosets(log_n, lde_factor):
         pows = npgl.powers(int(coset), n)
         lows.append((pows & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         highs.append((pows >> np.uint64(32)).astype(np.uint32))
-    return jnp.asarray(np.stack(lows)), jnp.asarray(np.stack(highs))
+    return np.stack(lows), np.stack(highs)
+
+
+def _coset_power_limbs_dev(log_n: int, lde_factor: int):
+    lo, hi = _coset_power_limbs_host(log_n, lde_factor)
+    return jnp.asarray(lo), jnp.asarray(hi)
 
 
 def _blocked(fn, x: GL, out_axis_offset: int = 0) -> GL:

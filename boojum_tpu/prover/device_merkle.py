@@ -721,6 +721,14 @@ def _rows_gather_fn(lo, hi, idx):
 _rows_gather_fn.gather_key = ("rows",)
 
 
+def _rows_gather_t_fn(lo_t, hi_t, idx):
+    """Leaf-row gather from the TRANSPOSED (k, L*n) flat: -> (2, q, k)."""
+    return jnp.stack((lo_t[:, idx].T, hi_t[:, idx].T))
+
+
+_rows_gather_t_fn.gather_key = ("rows_t",)
+
+
 def _chunks_gather_fn(c0l, c0h, c1l, c1h, gidx):
     """FRI leaf-chunk gather: -> (4, q*e)."""
     return jnp.stack((c0l[gidx], c0h[gidx], c1l[gidx], c1h[gidx]))

@@ -149,14 +149,14 @@ class DeviceProver:
     # -- fused per-gate sweep: all repetitions of one gate in one program ----
 
     def _gate_sweep_fn(self, ev, reps, path_len, base_var, base_wit,
-                       base_const, spec_base=None):
+                       base_const, spec_base=None, trans=False):
         key = (ev.name, reps, path_len, base_var, base_wit, base_const,
-               spec_base)
+               spec_base, trans)
         if key in self._gate_jits:
             return self._gate_jits[key]
         import jax
         j = jax.jit(_gate_sweep_body(ev, reps, base_var, base_wit,
-                                     base_const, spec_base))
+                                     base_const, spec_base, trans=trans))
         self._gate_jits[key] = j
         return j
 
@@ -205,7 +205,7 @@ class DeviceProver:
                 tuple(self.num_var + i for i in sb.table_ids_column_idxes)
                 if lp.id_in_constant else (0,),
                 self.num_var + self.num_const,
-                self.num_var + self.num_wit)
+                self.num_var + self.num_wit)  # f transposes at entry
             n_lk = num_lookup_subargs + 1
 
         spec_sweeps = []  # (body, n_terms)
@@ -233,6 +233,12 @@ class DeviceProver:
         def f(w_lo, w_hi, s_lo, s_hi, g2_lo, g2_hi, x_lo, x_hi, nrl, nrh,
               zs0l, zs0h, zs1l, zs1h, l1_lo, l1_hi, van_lo, van_hi,
               beta, gamma, lbeta, gpow, alphas):
+            # inputs arrive TRANSPOSED (k, size) — the oracle's canonical
+            # layout; XLA folds the transpose into each column read, turning
+            # strided (128x-wasteful) column loads into contiguous row loads
+            w_lo, w_hi = w_lo.T, w_hi.T
+            s_lo, s_hi = s_lo.T, s_hi.T
+            g2_lo, g2_hi = g2_lo.T, g2_hi.T
             sel_cache = {}
 
             def selector_product(path):
@@ -320,9 +326,18 @@ class DeviceProver:
         geometry = cs.geometry
         n, qd = self.n, self.qd
         nrl, nrh = self._prove_invariant["nr_limbs"]
+        # single-device oracles store flats TRANSPOSED (k, size)
+        trans = self.mesh is None
 
         def fcol(m, j):
+            if trans:
+                return m.lo[j], m.hi[j]
             return m.lo[:, j], m.hi[:, j]
+
+        def fcols2(m, i0, i1):
+            if trans:
+                return EV(m.lo[i0], m.hi[i0], m.lo[i1], m.hi[i1])
+            return EV(m.lo[:, i0], m.hi[:, i0], m.lo[:, i1], m.hi[:, i1])
 
         if use_dev_ts:
             def alpha_slice(start, count):
@@ -360,7 +375,7 @@ class DeviceProver:
                           for i in sb.table_ids_column_idxes)
                     if lp.id_in_constant else (0,),
                     self.num_var + self.num_const,
-                    self.num_var + self.num_wit)
+                    self.num_var + self.num_wit, trans)
                 n_lk = num_lookup_subargs + 1
                 lk_alphas = alpha_slice(ai, n_lk)
                 zero_s = jnp.zeros((size,), jnp.uint32)
@@ -385,10 +400,8 @@ class DeviceProver:
                             idxes[min(rep, len(idxes) - 1)]
                         t_lo, t_hi = fcol(s_flat, tid_idx)
                         agg = agg + EV(*jscale_base(t_lo, t_hi, gpow_a[width]))
-                    a_poly = EV(g2_flat.lo[:, a_off + 2 * rep],
-                                g2_flat.hi[:, a_off + 2 * rep],
-                                g2_flat.lo[:, a_off + 2 * rep + 1],
-                                g2_flat.hi[:, a_off + 2 * rep + 1])
+                    a_poly = fcols2(g2_flat, a_off + 2 * rep,
+                                    a_off + 2 * rep + 1)
                     prod = a_poly * agg
                     if sel_flat is None:
                         term = EV(*jext_sub_one_c0(*prod.a))
@@ -403,8 +416,7 @@ class DeviceProver:
                     t_lo, t_hi = fcol(s_flat, tbl_base + i)
                     agg_t = agg_t + EV(*jscale_base(t_lo, t_hi, gpow_a[i]))
                 b_off = a_off + 2 * num_lookup_subargs
-                b_poly = EV(g2_flat.lo[:, b_off], g2_flat.hi[:, b_off],
-                            g2_flat.lo[:, b_off + 1], g2_flat.hi[:, b_off + 1])
+                b_poly = fcols2(g2_flat, b_off, b_off + 1)
                 term = b_poly * agg_t
                 m_lo, m_hi = fcol(w_flat, self.num_var + self.num_wit)
                 mz = jnp.zeros_like(m_lo)
@@ -441,7 +453,7 @@ class DeviceProver:
             n_terms = sev.num_quotient_terms * sreps
             if self.fuse:
                 sweep = self._gate_sweep_fn(sev, sreps, 0, 0, 0, 0,
-                                            spec_base=base)
+                                            spec_base=base, trans=trans)
                 al = alpha_slice(ai, n_terms)
                 out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                             ones_s.lo, ones_s.hi, al)
@@ -469,7 +481,7 @@ class DeviceProver:
             if self.fuse:
                 sweep = self._gate_sweep_fn(
                     ev, reps, len(path), 0, self.num_var,
-                    self.num_var + len(path))
+                    self.num_var + len(path), trans=trans)
                 al = alpha_slice(ai, n_terms)
                 out = sweep(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                             sel[0], sel[1], al)
@@ -503,7 +515,7 @@ class DeviceProver:
         if self.fuse:
             # boundary + all recurrence relations in one program
             cp = _copyperm_quotient_jit(size, n, qd, self.num_var,
-                                        self.num_intermediates)
+                                        self.num_intermediates, trans)
             cp_alphas = alpha_slice(ai, 1 + num_rel)
             out = cp(w_flat.lo, w_flat.hi, s_flat.lo, s_flat.hi,
                      x_lde.lo, x_lde.hi, nrl, nrh,
@@ -514,14 +526,12 @@ class DeviceProver:
             acc = acc + EV(*out)
             ai += 1 + num_rel
         else:
-            z_flat = EV(g2_flat.lo[:, 0], g2_flat.hi[:, 0],
-                        g2_flat.lo[:, 1], g2_flat.hi[:, 1])
+            z_flat = fcols2(g2_flat, 0, 1)
             zm1 = EV(*jext_sub_one_c0(*z_flat.a))
             acc = acc + EV(*jext_mul_base(*zm1.a, l1.lo, l1.hi)) \
                 .scale(alpha_arrs[ai])
             ai += 1
-            inters = [EV(g2_flat.lo[:, 2 + 2 * i], g2_flat.hi[:, 2 + 2 * i],
-                         g2_flat.lo[:, 3 + 2 * i], g2_flat.hi[:, 3 + 2 * i])
+            inters = [fcols2(g2_flat, 2 + 2 * i, 3 + 2 * i)
                       for i in range(self.num_intermediates)]
             lhs_list = inters + [z_shift]
             rhs_list = [z_flat] + inters
@@ -945,7 +955,12 @@ class DeviceProver:
 
         def flat_prefix(oracle):
             # avoid the eager slice dispatch when the prefix is the whole
-            # array (~20-40 ms per eager op over the tunnel)
+            # array (~20-40 ms per eager op over the tunnel). Single-device
+            # oracles store the flat TRANSPOSED (k, L*n).
+            if self.mesh is None:
+                f_ = oracle.flat_t
+                return f_ if f_.shape[1] == size \
+                    else GL(f_.lo[:, :size], f_.hi[:, :size])
             f_ = oracle.flat
             return f_ if f_.shape[0] == size else f_[:size]
 
@@ -1036,6 +1051,8 @@ class DeviceProver:
                 jnp.asarray(beta_a), jnp.asarray(gamma_a),
                 jnp.asarray(lbeta_a), gpow_all, alphas_all)
             _stage("  q mega dispatched")
+            if verbose:
+                _sync("q mega drained", out_lo)
             q_monos = GL(out_lo, out_hi)
             if cs.config.runtime_asserts:
                 top0 = int(np.asarray(q_monos.lo[-1, 2 * qd - 2])) | \
@@ -1065,6 +1082,8 @@ class DeviceProver:
         quotient_oracle = self._make_oracle(None, fri_lde, cap_size, hasher,
                                             monomials=q_monos)
         _stage("  q oracle dispatched")
+        if verbose and hasattr(quotient_oracle.tree, "layers"):
+            _sync("q device drained", quotient_oracle.tree.layers[-1][0])
         absorb_cap(quotient_oracle)
 
         _stage("quotient")
@@ -1103,6 +1122,8 @@ class DeviceProver:
                 num_lookup_subargs, qd, lp.lookup_is_allowed,
                 len(pub_vals_list), len(pub_tuples_d))(
                     z_arr, pub_vals_np, pub_pts_np, *args)
+            if verbose:
+                _sync("evals drained", out[0])
             vz_dev = (GL(out[0], out[1]), GL(out[2], out[3]))
             vzw_dev = (GL(out[4], out[5]), GL(out[6], out[7]))
             k_ = 8
@@ -1280,6 +1301,10 @@ class DeviceProver:
             assert len(val_flat) == total_ch
 
         def flat_fri(oracle):
+            if self.mesh is None:
+                f_ = oracle.flat_t
+                return f_ if f_.shape[1] == fsize \
+                    else GL(f_.lo[:, :fsize], f_.hi[:, :fsize])
             f_ = oracle.flat
             return f_ if f_.shape[0] == fsize else f_[:fsize]
 
@@ -1289,7 +1314,7 @@ class DeviceProver:
         qf = flat_fri(quotient_oracle)
         if self.fuse:
             layout = tuple(tuple(srcs_) for (srcs_, _, _) in groups)
-            out = _deep_jit(fsize, layout)(
+            out = _deep_jit(fsize, layout, self.mesh is None)(
                 wf.lo, wf.hi, sf.lo, sf.hi, tf.lo, tf.hi, qf.lo, qf.hi,
                 x_fri.lo, x_fri.hi, jnp.asarray(pts_arr),
                 jnp.asarray(lam_flat), jnp.asarray(val_flat))
@@ -1297,6 +1322,13 @@ class DeviceProver:
         else:
             mats = (wf, sf, tf, qf)
             li = 0
+            tr_ = self.mesh is None  # transposed flats on single-device
+
+            def _src_col(fm, c):
+                if tr_:
+                    return fm.lo[c], fm.hi[c]
+                return fm.lo[:, c], fm.hi[:, c]
+
             h = EV.const((0, 0), (fsize,))
             for (srcs_, vals_, point) in groups:
                 acc_l = EV.const((0, 0), (fsize,))
@@ -1304,10 +1336,9 @@ class DeviceProver:
                     fm = mats[oid]
                     if c1_ < 0:
                         z_ = jnp.zeros((fsize,), jnp.uint32)
-                        s_ = EV(fm.lo[:, c0_], fm.hi[:, c0_], z_, z_)
+                        s_ = EV(*_src_col(fm, c0_), z_, z_)
                     else:
-                        s_ = EV(fm.lo[:, c0_], fm.hi[:, c0_],
-                                fm.lo[:, c1_], fm.hi[:, c1_])
+                        s_ = EV(*_src_col(fm, c0_), *_src_col(fm, c1_))
                     diff = s_ - EV.const(tuple(v_), (fsize,))
                     acc_l = acc_l + diff.scale(lam_flat[li])
                     li += 1
@@ -1315,6 +1346,8 @@ class DeviceProver:
                     EV.const(point, (fsize,))
                 h = h + acc_l * den.inv()
 
+        if verbose:
+            _sync("DEEP drained", h.a[0])
         _stage("DEEP")
         # -- FRI + PoW + queries ----------------------------------------------
         new_pow_bits, num_queries, schedule, _fd = compute_fri_schedule(
@@ -1586,7 +1619,7 @@ def _consts_read(ev):
 
 
 def _gate_sweep_body(ev, reps, base_var, base_wit, base_const,
-                     spec_base=None):
+                     spec_base=None, trans=False):
     """Traced body: all repetitions of one gate, alpha-scaled and summed,
     times the selector column. Wrapped by _gate_sweep_fn; inlined into
     _quotient_full."""
@@ -1607,6 +1640,10 @@ def _gate_sweep_body(ev, reps, base_var, base_wit, base_const,
                              for r in range(reps)] for i in range(nc_)])
 
     def fn(w_lo, w_hi, s_lo, s_hi, sel_lo, sel_hi, alphas):
+        if trans:
+            # oracle flats arrive (k, size); XLA folds the transpose into
+            # the column gathers below (contiguous row reads)
+            w_lo, w_hi, s_lo, s_hi = w_lo.T, w_hi.T, s_lo.T, s_hi.T
         vars_ = [GL(w_lo[:, var_idx[i]], w_hi[:, var_idx[i]])
                  for i in range(nv_)]
         wits = [GL(w_lo[:, wit_idx[i]], w_hi[:, wit_idx[i]])
@@ -1615,7 +1652,7 @@ def _gate_sweep_body(ev, reps, base_var, base_wit, base_const,
                   for i in range(nc_)]
         src = TraceView(vars_, wits, consts)
         terms = ev.evaluate(src, GLOps)
-        size = w_lo.shape[0]
+        size = w_lo.shape[0]  # post-transpose: rows are the LDE domain
         acc0 = gl.zeros((size, reps))
         acc1 = gl.zeros((size, reps))
         # alpha for (rep r, term t) = alphas[r*T + t] (rep-major order)
@@ -1806,7 +1843,7 @@ def _bcast_pair(arr2, shape):
 
 def _lookup_quotient_body(size, num_subargs, width, pw, base_off, a_off,
                           id_in_constant, has_sel, num_table, tid_idxes,
-                          tbl_base, mult_idx):
+                          tbl_base, mult_idx, trans=False):
     """Traced body: all lookup quotient terms (A relations + B relation).
     Wrapped standalone by _lookup_quotient_jit and inlined whole into the
     fused full-quotient program (_quotient_full)."""
@@ -1815,6 +1852,12 @@ def _lookup_quotient_body(size, num_subargs, width, pw, base_off, a_off,
 
     def f(w_lo, w_hi, s_lo, s_hi, g2_lo, g2_hi, sel_lo, sel_hi,
           lbeta, gpow, alphas):
+        if trans:
+            # oracle flats arrive (k, size); XLA folds the transposes into
+            # the column reads below
+            w_lo, w_hi = w_lo.T, w_hi.T
+            s_lo, s_hi = s_lo.T, s_hi.T
+            g2_lo, g2_hi = g2_lo.T, g2_hi.T
         lw = GL(w_lo[:, base_off:base_off + num_subargs * pw],
                 w_hi[:, base_off:base_off + num_subargs * pw])
         lw = lw.reshape(size, num_subargs, pw)
@@ -1885,7 +1928,7 @@ def _lookup_quotient_jit(*params):
     return jax.jit(_lookup_quotient_body(*params))
 
 
-def _copyperm_quotient_body(size, n, qd, num_var, num_inter):
+def _copyperm_quotient_body(size, n, qd, num_var, num_inter, trans=False):
     """Traced body: boundary + ALL grand-product recurrence relations —
     per relation, its qd columns' affine factors are built as (size, qd)
     blocks and tree-multiplied. Wrapped by _copyperm_quotient_jit; inlined
@@ -1897,6 +1940,10 @@ def _copyperm_quotient_body(size, n, qd, num_var, num_inter):
 
     def f(w_lo, w_hi, s_lo, s_hi, x_lo, x_hi, nrl, nrh, g2_lo, g2_hi,
           zs0l, zs0h, zs1l, zs1h, l1_lo, l1_hi, beta, gamma, alphas):
+        if trans:
+            w_lo, w_hi = w_lo.T, w_hi.T
+            s_lo, s_hi = s_lo.T, s_hi.T
+            g2_lo, g2_hi = g2_lo.T, g2_hi.T
         z = GL2(GL(g2_lo[:, 0], g2_hi[:, 0]), GL(g2_lo[:, 1], g2_hi[:, 1]))
         inters = [GL2(GL(g2_lo[:, 2 + 2 * i], g2_hi[:, 2 + 2 * i]),
                       GL(g2_lo[:, 3 + 2 * i], g2_hi[:, 3 + 2 * i]))
@@ -1989,7 +2036,7 @@ def _intt_coset_jit(log_size):
 
 
 @functools.lru_cache(maxsize=None)
-def _deep_jit(fsize, layout):
+def _deep_jit(fsize, layout, trans=False):
     """One fused program for the whole DEEP/quotening combination
     (reference: quotening_operation_in_extension, prover.rs:2397,2523).
 
@@ -2012,6 +2059,15 @@ def _deep_jit(fsize, layout):
 
     def f(w_lo, w_hi, s_lo, s_hi, t2_lo, t2_hi, q_lo, q_hi,
           x_lo, x_hi, points, lams, vals):
+        if trans:
+            # oracle flats arrive (k, fsize); XLA folds the transposes into
+            # the ~170 per-source column reads below — strided column loads
+            # of the row-major layout dragged whole 128-lane tiles (~90 GB
+            # of wasted HBM traffic per prove, round-5 profiling)
+            w_lo, w_hi = w_lo.T, w_hi.T
+            s_lo, s_hi = s_lo.T, s_hi.T
+            t2_lo, t2_hi = t2_lo.T, t2_hi.T
+            q_lo, q_hi = q_lo.T, q_hi.T
         mats = ((w_lo, w_hi), (s_lo, s_hi), (t2_lo, t2_hi), (q_lo, q_hi))
         zero = jnp.zeros((fsize,), jnp.uint32)
         x = GL2(GL(x_lo, x_hi), GL(zero, zero))

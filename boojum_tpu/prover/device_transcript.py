@@ -47,11 +47,18 @@ FLAT, CAPT, ILV = "flat", "capT", "ilv"
 
 
 def _perm_fn(kind: str):
+    """1-lane transcript permutation: round loops UNROLLED — at batch 1 each
+    fori_loop iteration is its own device kernel launch (~0.1 ms), so a
+    rolled 30-round permutation costs ~4 ms and the evals-at-z absorb
+    (~45 sequential permutations) measured 187 ms of the round-5 prove.
+    Unrolled bodies fuse each permutation into a handful of kernels."""
+    import functools as _ft
+
     if kind == "poseidon2":
         from ..hash.poseidon2 import _permutation_stacked
-        return _permutation_stacked
+        return _ft.partial(_permutation_stacked, unroll=11)
     from ..hash.poseidon import _permutation_rolled_gl
-    return _permutation_rolled_gl
+    return _ft.partial(_permutation_rolled_gl, unroll=11)
 
 
 def _linearize_traced(pieces):

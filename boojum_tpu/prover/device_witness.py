@@ -164,6 +164,12 @@ class DeviceWitnessProgram:
                 "device table packing must preserve the host sort order"
             tables.append((srt, order, len(tbl)))
 
+        # lookup tables small enough for the equality-reduce multiplicity
+        # count (one (n_keys, block) compare per 512-row table block — a
+        # dense VPU op instead of a TPU-hostile scatter-add: measured ~0 ms
+        # vs 54 ms for the .at[].add path at flagship shapes, round 5)
+        self._eq_reduce_max = 1 << 16
+
         # column gather indices + placeholder masks (static)
         def col_meta(data):
             if data is None or data.shape[0] == 0:
@@ -195,6 +201,15 @@ class DeviceWitnessProgram:
             self._aux.append(jax.device_put(jnp.asarray(arr)))
             return len(self._aux) - 1
 
+        # contiguous set ranges write as ONE dynamic_update_slice instead of
+        # a scatter (the resolver allocates set places in order, so this is
+        # the common case — measured 2x on the scatter at flagship shapes)
+        self._set_contig_start = None
+        if set_out_idx.size and np.array_equal(
+                set_out_idx,
+                np.arange(set_out_idx[0],
+                          set_out_idx[0] + set_out_idx.size)):
+            self._set_contig_start = int(set_out_idx[0])
         set_scatter_aux = aux(set_out_idx)
         node_specs = []
         for kind, info, out_idx in nodes:
@@ -205,6 +220,19 @@ class DeviceWitnessProgram:
                       for (tbl_idx, key_idx) in mult_groups]
         table_aux = [(aux(t[0]), aux(t[1])) if t is not None else None
                      for t in tables]
+        # raw unsorted packed tables for the eq-reduce count path
+        raw_table_aux = []
+        for tbl_idx, tbl in enumerate(cs.lookup_tables):
+            s = self._table_shifts[tbl_idx]
+            if s is None or len(tbl) > self._eq_reduce_max:
+                raw_table_aux.append(None)
+                continue
+            keys = [tbl.content[:, i].astype(np.uint64)
+                    for i in range(tbl.num_keys)]
+            packed = keys[0]
+            for k2 in keys[1:]:
+                packed = (packed << np.uint64(s)) | k2
+            raw_table_aux.append(aux(packed.astype(np.uint32)))
         col_aux = []
         for meta in [copy_meta, wit_meta] + spec_parts:
             idx, ph = meta
@@ -212,17 +240,22 @@ class DeviceWitnessProgram:
 
         inv_perm_aux = aux(self._set_inv_perm)
         n8, n32 = self._idx8.shape[0], self._idx32.shape[0]
+        set_start = self._set_contig_start
 
         def prog(a8, a32, lo64, hi64, *ax):
+            import jax.lax as lax
             set_lo = jnp.concatenate([a8.astype(jnp.uint32), a32,
                                       lo64])[ax[inv_perm_aux]]
             set_hi = jnp.concatenate(
                 [jnp.zeros((n8 + n32,), jnp.uint32), hi64])[ax[inv_perm_aux]]
             vlo = jnp.zeros((V,), jnp.uint32)
             vhi = jnp.zeros((V,), jnp.uint32)
-            mults = [jnp.zeros((sz,), jnp.uint32) for sz in mult_sizes]
-            vlo = vlo.at[ax[set_scatter_aux]].set(set_lo)
-            vhi = vhi.at[ax[set_scatter_aux]].set(set_hi)
+            if set_start is not None:
+                vlo = lax.dynamic_update_slice(vlo, set_lo, (set_start,))
+                vhi = lax.dynamic_update_slice(vhi, set_hi, (set_start,))
+            else:
+                vlo = vlo.at[ax[set_scatter_aux]].set(set_lo)
+                vhi = vhi.at[ax[set_scatter_aux]].set(set_hi)
             for kind, info, oi in node_specs:
                 twin, ii, ins_shape = info
                 glo = vlo[ax[ii]].reshape(ins_shape)
@@ -230,29 +263,47 @@ class DeviceWitnessProgram:
                 olo, ohi = twin(glo, ghi)
                 vlo = vlo.at[ax[oi]].set(olo.reshape(-1))
                 vhi = vhi.at[ax[oi]].set(ohi.reshape(-1))
+            mults = [jnp.zeros((sz,), jnp.uint32) for sz in mult_sizes]
             for tbl_idx, ki, key_shape in mult_specs:
                 keys = vlo[ax[ki]].reshape(key_shape)
                 s = self._table_shifts[tbl_idx]
                 packed = keys[0]
                 for i in range(1, key_shape[0]):
                     packed = (packed << jnp.uint32(s)) | keys[i]
-                ski, ori = table_aux[tbl_idx]
-                pos = jnp.searchsorted(ax[ski], packed)
-                rows = ax[ori][pos]
-                mults[tbl_idx] = mults[tbl_idx].at[rows].add(1)
+                if raw_table_aux[tbl_idx] is not None:
+                    # equality-reduce count in 512-row table blocks — dense
+                    # VPU compare instead of a TPU-hostile scatter-add
+                    tb = ax[raw_table_aux[tbl_idx]]
+                    T = tb.shape[0]
+                    cnts = []
+                    for st_ in range(0, T, 512):
+                        blk = tb[st_:st_ + 512]
+                        eq = (packed[:, None] == blk[None, :])
+                        cnts.append(eq.astype(jnp.uint32).sum(axis=0))
+                    mults[tbl_idx] = mults[tbl_idx] + jnp.concatenate(cnts)
+                else:
+                    ski, ori = table_aux[tbl_idx]
+                    pos = jnp.searchsorted(ax[ski], packed)
+                    rows = ax[ori][pos]
+                    mults[tbl_idx] = mults[tbl_idx].at[rows].add(1)
 
             # assemble the witness-oracle Lagrange matrix (n, K) in the
             # prover's leaf order: copy cols, specialized cols, witness
             # cols, multiplicity column (prover.materialize_witness_columns
-            # + the np.concatenate in DeviceProver.prove)
+            # + the np.concatenate in DeviceProver.prove). Both limb planes
+            # ride ONE stacked axis-1 take per group: two separate 1-D
+            # gathers measured 8x slower at flagship shapes (round 5).
+            vboth = jnp.stack([vlo, vhi])  # (2, V)
             groups_lo, groups_hi = [], []
             order = [0] + list(range(2, 2 + len(spec_parts))) + [1]
             for gi in order:
                 ci, pi, k_cols = col_aux[gi]
                 if k_cols == 0:
                     continue
-                groups_lo.append(jnp.where(ax[pi], jnp.uint32(0), vlo[ax[ci]]))
-                groups_hi.append(jnp.where(ax[pi], jnp.uint32(0), vhi[ax[ci]]))
+                g = jnp.take(vboth, ax[ci].reshape(-1), axis=1).reshape(
+                    2, k_cols, n)
+                groups_lo.append(jnp.where(ax[pi], jnp.uint32(0), g[0]))
+                groups_hi.append(jnp.where(ax[pi], jnp.uint32(0), g[1]))
             if has_mult:
                 pad = n - sum(mult_sizes)
                 mult_col = jnp.concatenate(

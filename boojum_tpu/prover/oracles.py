@@ -9,6 +9,9 @@ positions per leaf, c0 block then c1 block.
 
 from __future__ import annotations
 
+import functools as _functools
+
+import jax as _jax
 import numpy as np
 
 from ..field import goldilocks as gl
@@ -117,6 +120,70 @@ class _DeferredRows:
     value = None
 
 
+@_functools.lru_cache(maxsize=None)
+def _commit_jit(n: int, k: int, lde_factor: int, tree_lde: int,
+                cap_size: int, hasher: str, from_lagrange: bool):
+    """The WHOLE oracle commit as ONE program: [Lagrange -> monomials ->]
+    LDE -> flat -> leaf columns -> every Merkle layer.
+
+    Replaces the previous chain of ~7 eager device hops per oracle (reshape,
+    slice, two transposes, rate-pad concats, per-phase dispatches) — each
+    eager op is its own ~20-40 ms dispatch over the device tunnel, and the
+    quotient oracle's chain alone cost ~0.4 s of the round-5 prove."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ntt import ntt as _ntt
+    from .device_merkle import (_leaf_hashes_traced, _node_layer_traced,
+                                _pad_cols_to_rate)
+
+    def f(cols_lo, cols_hi):
+        cols = gl.GL(cols_lo, cols_hi)
+        if from_lagrange:
+            monos = device.cols_to_monomials(cols)
+        else:
+            monos = cols
+        lde = device.monomials_to_lde(monos, lde_factor)  # (L, n, k)
+        flat = lde.reshape(lde_factor * n, k)
+        # the TRANSPOSED (k, L*n) flat is the canonical stored layout: the
+        # Merkle leaf columns ARE its prefix, and every consumer that reads
+        # per-poly columns (quotient sweeps, DEEP sources, query gathers)
+        # reads contiguous rows instead of 128x-wasteful strided columns
+        flat_t = gl.GL(flat.lo.T, flat.hi.T)
+        leaf_cols = flat_t if tree_lde == lde_factor \
+            else gl.GL(flat_t.lo[:, : tree_lde * n],
+                       flat_t.hi[:, : tree_lde * n])
+        outs = [monos.lo, monos.hi, flat_t.lo, flat_t.hi]
+        if hasher in ("poseidon", "poseidon2"):
+            cur = _leaf_hashes_traced(_pad_cols_to_rate(leaf_cols))
+            outs.extend((cur.lo, cur.hi))
+            while cur.lo.shape[1] > cap_size:
+                cur = _node_layer_traced(cur)
+                outs.extend((cur.lo, cur.hi))
+        else:
+            from ..hash.device_bytes_hash import LEAF_FNS, NODE_FNS
+            cur = LEAF_FNS[hasher](leaf_cols)
+            outs.append(cur)
+            while cur.shape[1] > cap_size:
+                cur = NODE_FNS[hasher](cur[:, 0::2], cur[:, 1::2])
+                outs.append(cur)
+        return tuple(outs)
+
+    return _jax.jit(f)
+
+
+def _use_fused_commit() -> bool:
+    """One-program oracle commit on accelerators; XLA:CPU's compile of the
+    merged LDE+tree graph is slow, and the CPU path has no dispatch-latency
+    problem to solve (BOOJUM_FUSED_COMMIT=0/1 overrides)."""
+    import os
+
+    v = os.environ.get("BOOJUM_FUSED_COMMIT")
+    if v is not None:
+        return v == "1"
+    return _jax.default_backend() not in ("cpu",)
+
+
 class DeviceOracle:
     """Device-resident oracle: LDEs stay on device; the Merkle tree hashes
     device leaf columns (only hash layers cross to host); query values are
@@ -147,12 +214,16 @@ class DeviceOracle:
                       file=_sys.stderr, flush=True)
                 _t[0] = now
 
+        assert hasher in ("poseidon", "poseidon2", "blake2s", "keccak256"), \
+            hasher
         self.lagrange = None  # (n, k) device plain-domain values (when known)
+        src = None
+        from_lagrange = False
         if lagrange_dev is not None:
             # device-materialized witness (DeviceWitnessProgram): no upload
             self.lagrange = lagrange_dev
-            monomials = device.cols_to_monomials(lagrange_dev)
-            _mark("monomials", monomials.lo)
+            src = lagrange_dev
+            from_lagrange = True
         elif monomials is None:
             # packed upload: only a win over the device tunnel; on CPU the
             # reassembly gather is pure overhead
@@ -164,20 +235,42 @@ class DeviceOracle:
             # vars, sigmas, tables) instead of re-uploading them per prove —
             # the upload was the top stage-2 cost over the tunnel
             self.lagrange = cols_dev
-            monomials = device.cols_to_monomials(cols_dev)
-            _mark("monomials", monomials.lo)
-        self.monomials = monomials  # (n, k) device
-        self.n = monomials.shape[0]
-        self.num_polys = monomials.shape[1]
+            src = cols_dev
+            from_lagrange = True
+        else:
+            src = monomials
+
+        self.n = src.shape[0]
+        self.num_polys = src.shape[1]
         self.lde_factor = lde_factor
         self.tree_lde = tree_lde or lde_factor
+        assert self.tree_lde <= lde_factor
+
+        if hasher != "poseidon" and _use_fused_commit():
+            out = _commit_jit(self.n, self.num_polys, lde_factor,
+                              self.tree_lde, cap_size, hasher,
+                              from_lagrange)(src.lo, src.hi)
+            self.monomials = gl.GL(out[0], out[1])
+            self.flat_t = gl.GL(out[2], out[3])
+            rest = out[4:]
+            from .device_merkle import DeviceBytesTree, DeviceTree
+            if hasher in ("poseidon", "poseidon2"):
+                self.tree = DeviceTree(list(zip(rest[0::2], rest[1::2])))
+            else:
+                self.tree = DeviceBytesTree(list(rest), hasher)
+            _mark("fused commit", self.flat_t.lo)
+            return
+
+        if from_lagrange:
+            monomials = device.cols_to_monomials(src)
+            _mark("monomials", monomials.lo)
+        self.monomials = monomials  # (n, k) device
         lde = device.monomials_to_lde(monomials, lde_factor)  # (L, n, k)
-        self.flat = lde.reshape(lde_factor * self.n, self.num_polys)
-        _mark("lde", self.flat.lo)
-        assert hasher in ("poseidon", "poseidon2", "blake2s", "keccak256"), \
-            hasher
-        tree_rows = self.flat[: self.tree_lde * self.n]
-        leaf_cols = gl.GL(tree_rows.lo.T, tree_rows.hi.T)
+        flat = lde.reshape(lde_factor * self.n, self.num_polys)
+        self.flat_t = gl.GL(flat.lo.T, flat.hi.T)
+        _mark("lde", self.flat_t.lo)
+        leaf_cols = gl.GL(self.flat_t.lo[:, : self.tree_lde * self.n],
+                          self.flat_t.hi[:, : self.tree_lde * self.n])
         from .device_merkle import build_any_device_tree
         self.tree = build_any_device_tree(leaf_cols, cap_size, hasher)
         _mark("tree", *(self.tree.layers[-1] if hasattr(self.tree, "layers")
@@ -202,7 +295,9 @@ class DeviceOracle:
 
         out = _DeferredRows()
         mini = collector or FetchCollector()
-        mini.add_gather(_rows_gather_fn, (self.flat.lo, self.flat.hi, idx),
+        from .device_merkle import _rows_gather_t_fn
+        mini.add_gather(_rows_gather_t_fn,
+                        (self.flat_t.lo, self.flat_t.hi, idx),
                         lambda h: setattr(out, "value", combine(h)))
         if collector is None:
             mini.flush()
@@ -242,11 +337,6 @@ class DeviceOracle:
             take = min(B, k - start)
             out.extend((int(r0[j]), int(r1[j])) for j in range(take))
         return out
-
-
-import functools as _functools
-
-import jax as _jax
 
 
 @_functools.lru_cache(maxsize=None)
