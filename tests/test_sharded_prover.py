@@ -169,10 +169,13 @@ def test_distributed_ntt_grand_product_2e22(mesh):
 @pytest.mark.skipif(
     not __import__("os").environ.get("BOOJUM_RUN_2E16"),
     reason="XLA:CPU compile of the full 2^16 virtual-mesh prove is "
-           "pathological (>4h on a 4-core box; killed, never completed). "
-           "Full-prove byte-identity is pinned at 2^12 above, the sharded "
-           "KERNELS at 2^22 (test_distributed_ntt_grand_product_2e22), and "
-           "the 2^20 sharded prove runs verified on the real chip "
+           "pathological (>4h on a 4-core box in round 4; re-attempted in "
+           "round 5 with the rolled mesh program set and killed again at "
+           "2.5h). Full-prove byte-identity is pinned at 2^12 above, the "
+           "sharded KERNELS at 2^22 with mesh_devices=8 "
+           "(test_distributed_ntt_grand_product_2e22 and "
+           "bench_results/sharded_kernels_2e22_r5.json), and the 2^20 "
+           "sharded prove runs verified on the real chip "
            "(bench_results/sharded_2e20_r4.json). Set BOOJUM_RUN_2E16=1 to "
            "attempt this anyway.")
 def test_sharded_prove_byte_identical_2e16(mesh):
