@@ -45,7 +45,14 @@ def main():
     from boojum_tpu.ntt import ntt
 
     def get1(arr):
-        return np.asarray(jax.device_get(arr[..., :1]))
+        # completion barrier: fetch 256 rows SPREAD across the array (kB
+        # scale). Slicing a committed jit output blocks until the whole
+        # array exists, so this forces completion; fetching a full (n, 1)
+        # column (64 MB) took 1.8-2.1 s over this box's tunnel and drowned
+        # the ~150 ms compute (the round-5 first-cut artifact was bogus
+        # for exactly that reason — clamped-negative after subtraction)
+        step = max(1, arr.shape[0] // 256)
+        return np.asarray(jax.device_get(arr[::step, ...]))
 
     log_n = 24
     n = 1 << log_n
